@@ -1,0 +1,41 @@
+"""diffsptk_tpu: a TPU-native differentiable-SPTK framework.
+
+Built from scratch in JAX/XLA/Pallas with the capability surface of
+sp-nitech/diffsptk.  See SURVEY.md for the blueprint.
+"""
+
+from . import functional
+from .core import BaseLearnerOp, BaseNonFunctionalOp, BaseOp, Design
+from .signals import (
+    impulse,
+    mseq,
+    mseq_like,
+    nrand,
+    nrand_like,
+    ramp,
+    rand,
+    rand_like,
+    sin,
+    step,
+    train,
+)
+from .utils import get_alpha, read, write
+from .version import __version__
+
+# Short aliases mirroring the reference's public names
+# (reference: diffsptk/modules/__init__.py:17-175).
+from .ops import (
+    Frame,
+    InverseShortTimeFourierTransform,
+    RealValuedFastFourierTransform,
+    RealValuedInverseFastFourierTransform,
+    ShortTimeFourierTransform,
+    Spectrum,
+    Unframe,
+    Window,
+)
+
+STFT = ShortTimeFourierTransform
+ISTFT = InverseShortTimeFourierTransform
+FFTR = RealValuedFastFourierTransform
+IFFTR = RealValuedInverseFastFourierTransform

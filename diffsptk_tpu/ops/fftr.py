@@ -1,0 +1,112 @@
+"""Real-input FFT and inverse (reference: diffsptk/modules/fftr.py, ifftr.py).
+
+Non-learnable path rides XLA's native TPU FFT.  ``learnable=True`` replaces
+the FFT with an explicit DFT weight matrix (one MXU matmul) whose entries are
+trainable, matching the reference's learnable-basis semantics
+(fftr.py:123-135).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import BaseOp, Design, filter_values
+
+
+def _make_formatter(out_format):
+    if out_format in (0, "complex"):
+        return lambda x: x
+    if out_format in (1, "real"):
+        return lambda x: x.real
+    if out_format in (2, "imaginary"):
+        return lambda x: x.imag
+    if out_format in (3, "amplitude"):
+        return lambda x: jnp.abs(x)
+    if out_format in (4, "power"):
+        return lambda x: jnp.square(jnp.abs(x))
+    raise ValueError(f"out_format {out_format} is not supported.")
+
+
+class RealValuedFastFourierTransform(BaseOp):
+    """rfft of a real signal (..., N) -> (..., L/2+1) with output formatting."""
+
+    def __init__(self, fft_length: int, out_format: str | int = "complex",
+                 learnable: bool = False, dtype=None) -> None:
+        self._setup(self._design(**filter_values(locals(), ("dtype",))),
+                    learnable=learnable is True, dtype=dtype)
+
+    @staticmethod
+    def _check(fft_length: int | None) -> None:
+        if fft_length is not None and (fft_length <= 0 or fft_length % 2 == 1):
+            raise ValueError("fft_length must be positive even.")
+
+    @staticmethod
+    def _design(fft_length: int | None, out_format: str | int = "complex",
+                learnable: bool = False) -> Design:
+        RealValuedFastFourierTransform._check(fft_length)
+        formatter = _make_formatter(out_format)
+        arrays = {}
+        if learnable:
+            if fft_length is None:
+                raise ValueError("fft_length must be given when learnable.")
+            # Explicit rfft matrix, stored as [Re | Im] so the parameter is real.
+            W = np.fft.fft(np.eye(fft_length))[:, : fft_length // 2 + 1]
+            arrays["W"] = np.concatenate([W.real, W.imag], axis=-1)
+        return Design(
+            values={"fft_length": fft_length, "formatter": formatter},
+            arrays=arrays)
+
+    @staticmethod
+    def _forward(x: jnp.ndarray, *, fft_length: int | None, formatter,
+                 W: jnp.ndarray | None = None) -> jnp.ndarray:
+        if W is None:
+            y = jnp.fft.rfft(x, n=fft_length)
+        else:
+            if fft_length is not None and fft_length != x.shape[-1]:
+                cfg = [(0, 0)] * (x.ndim - 1) + [(0, fft_length - x.shape[-1])]
+                x = jnp.pad(x, cfg)
+            y = jnp.matmul(x, W)
+            re, im = jnp.split(y, 2, axis=-1)
+            y = jax.lax.complex(re, im)
+        return formatter(y)
+
+
+class RealValuedInverseFastFourierTransform(BaseOp):
+    """irfft (..., L/2+1) -> (..., out_length)."""
+
+    _input_names = ("y",)
+
+    def __init__(self, fft_length: int, out_length: int | None = None,
+                 learnable: bool = False, dtype=None) -> None:
+        self._setup(self._design(**filter_values(locals(), ("dtype",))),
+                    learnable=learnable is True, dtype=dtype)
+
+    @staticmethod
+    def _check(fft_length: int, out_length: int | None) -> None:
+        if fft_length <= 0 or fft_length % 2 == 1:
+            raise ValueError("fft_length must be positive even.")
+        if out_length is not None and (out_length <= 0 or fft_length < out_length):
+            raise ValueError("out_length must be in [1, fft_length].")
+
+    @staticmethod
+    def _design(fft_length: int, out_length: int | None = None,
+                learnable: bool = False) -> Design:
+        RealValuedInverseFastFourierTransform._check(fft_length, out_length)
+        arrays = {}
+        if learnable:
+            W = np.fft.ifft(np.eye(fft_length))[: fft_length // 2 + 1, :out_length]
+            W[1:-1] *= 2.0
+            arrays["W"] = np.concatenate([W.real, -W.imag], axis=0)
+        return Design(values={"out_length": out_length}, arrays=arrays)
+
+    @staticmethod
+    def _forward(y: jnp.ndarray, *, out_length: int | None,
+                 W: jnp.ndarray | None = None) -> jnp.ndarray:
+        if W is None:
+            x = jnp.fft.irfft(y)[..., :out_length]
+        else:
+            yr = jnp.concatenate([y.real, y.imag], axis=-1)
+            x = jnp.matmul(yr, W)
+        return x

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark runner: samples/s/chip for the headline chain on real hardware.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Current flagship chain: STFT -> mcep -> MLSA analysis-synthesis when available,
+else the STFT spectrogram config (BASELINE.md config #1).  vs_baseline is the
+ratio to the PyTorch CPU reference measured in-process when importable, else
+1.0 (the reference publishes no numbers; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _load_audio():
+    import diffsptk_tpu as dsp
+    x, sr = dsp.read("/root/reference/assets/data.wav")
+    return x, sr
+
+
+def _timeit(fn, *args, warmup=3, iters=20):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import diffsptk_tpu as dsp
+
+    x, sr = _load_audio()
+    # Batch the 1.2 s clip to fill the chip.
+    B = 64
+    xb = jnp.tile(x[None, :], (B, 1))
+    n_samples = xb.size
+
+    try:
+        value, name = _bench_mcep_chain(dsp, xb)
+    except Exception:
+        name = "stft_spectrogram"
+        stft = dsp.STFT(frame_length=400, frame_period=80, fft_length=512)
+        fn = jax.jit(stft)
+        dt = _timeit(fn, xb)
+        value = n_samples / dt
+
+    baseline = _bench_reference(name, np.asarray(xb))
+    vs = value / baseline if baseline else 1.0
+    print(json.dumps({
+        "metric": f"samples_per_s_per_chip[{name}]",
+        "value": round(value, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+def _bench_mcep_chain(dsp, xb):
+    """STFT -> mcep -> MLSA round trip (BASELINE config #3)."""
+    from diffsptk_tpu.models.mcep_vocoder import MelCepstralVocoder
+    voc = MelCepstralVocoder(frame_length=400, frame_period=80,
+                             fft_length=512, cep_order=24, alpha=0.42,
+                             n_iter=10)
+    fn = jax.jit(voc.analysis_synthesis)
+    dt = _timeit(fn, xb)
+    return xb.size / dt, "stft_mcep_mlsa"
+
+
+def _bench_reference(name, xb_np) -> float | None:
+    """Measure the PyTorch reference on the same config (CPU) if importable."""
+    try:
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from oracle import reference
+        import torch
+        torch.set_default_dtype(torch.float32)
+        xt = torch.tensor(xb_np, dtype=torch.float32)
+        if name == "stft_spectrogram":
+            mod = reference.STFT(400, 80, 512)
+            fn = lambda: mod(xt)
+        elif name == "stft_mcep_mlsa":
+            stft = reference.STFT(400, 80, 512, out_format="power")
+            mcep = reference.MelCepstralAnalysis(
+                fft_length=512, cep_order=24, alpha=0.42, n_iter=10)
+            mlsa = reference.MLSA(filter_order=24, frame_period=80,
+                                  alpha=0.42, taylor_order=20)
+            fn = lambda: mlsa(xt, mcep(stft(xt)))
+        else:
+            return None
+        fn()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            fn()
+        dt = (time.perf_counter() - t0) / 3
+        return xb_np.size / dt
+    except Exception:
+        return None
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .halo import exchange_halo
+from .mesh import make_mesh
+from .sharded import ShardedSTFT, sharded_frame

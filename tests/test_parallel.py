@@ -1,0 +1,56 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import diffsptk_tpu
+from diffsptk_tpu.parallel import ShardedSTFT, make_mesh, sharded_frame
+from tests import utils as U
+
+
+def _mesh_1d(n, name="tp"):
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()[:n]), (name,))
+
+
+@pytest.mark.parametrize("center", [True, False])
+@pytest.mark.parametrize("ntp", [2, 4])
+def test_sharded_frame_matches_single(center, ntp):
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(1600))
+    mesh = _mesh_1d(ntp)
+    y_ref = diffsptk_tpu.Frame(50, 10, center=center)(x)
+    y = sharded_frame(x, 50, 10, mesh, batch_axis_name=None, center=center)
+    U.assert_close(np.asarray(y), np.asarray(y_ref), rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("ntp", [2, 4])
+def test_sharded_stft_matches_single(ntp):
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 1600)))
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:2 * ntp]).reshape(2, ntp),
+                ("dp", "tp"))
+    single = diffsptk_tpu.STFT(400, 80, 512)
+    sharded = ShardedSTFT(mesh, 400, 80, 512)
+    y_ref = single(x)
+    y = sharded(x)
+    U.assert_close(np.asarray(y), np.asarray(y_ref), rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_stft_jit_grad():
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 800)))
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "tp"))
+    sharded = ShardedSTFT(mesh, 100, 50, 128, eps=1e-8)
+
+    def loss(x):
+        return jnp.mean(sharded(x))
+
+    g = jax.jit(jax.grad(loss))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_make_mesh():
+    m = make_mesh(4, axis_names=("tp",))
+    assert m.shape["tp"] == 4
+    m2 = make_mesh((2, 4))
+    assert m2.shape == {"dp": 2, "tp": 4}

@@ -24,18 +24,31 @@ from .version import __version__
 
 # Short aliases mirroring the reference's public names
 # (reference: diffsptk/modules/__init__.py:17-175).
+from .ops import *  # noqa: F401,F403
 from .ops import (
-    Frame,
+    DiscreteCosineTransform,
+    DiscreteHartleyTransform,
+    DiscreteSineTransform,
+    InverseDiscreteCosineTransform,
+    InverseDiscreteHartleyTransform,
+    InverseDiscreteSineTransform,
     InverseShortTimeFourierTransform,
+    InverseWalshHadamardTransform,
     RealValuedFastFourierTransform,
     RealValuedInverseFastFourierTransform,
     ShortTimeFourierTransform,
-    Spectrum,
-    Unframe,
-    Window,
+    WalshHadamardTransform,
 )
 
 STFT = ShortTimeFourierTransform
 ISTFT = InverseShortTimeFourierTransform
 FFTR = RealValuedFastFourierTransform
 IFFTR = RealValuedInverseFastFourierTransform
+DCT = DiscreteCosineTransform
+IDCT = InverseDiscreteCosineTransform
+DST = DiscreteSineTransform
+IDST = InverseDiscreteSineTransform
+DHT = DiscreteHartleyTransform
+IDHT = InverseDiscreteHartleyTransform
+WHT = WalshHadamardTransform
+IWHT = InverseWalshHadamardTransform

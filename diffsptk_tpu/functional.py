@@ -7,11 +7,46 @@ the class path.
 
 from __future__ import annotations
 
+from .ops.companding import (
+    ALawCompression,
+    ALawExpansion,
+    InverseUniformQuantization,
+    MuLawCompression,
+    MuLawExpansion,
+    UniformQuantization,
+)
+from .ops.dct import (
+    DiscreteCosineTransform,
+    DiscreteHartleyTransform,
+    DiscreteSineTransform,
+    InverseDiscreteCosineTransform,
+    InverseDiscreteHartleyTransform,
+    InverseDiscreteSineTransform,
+    WalshHadamardTransform,
+)
 from .ops.fftr import (
     RealValuedFastFourierTransform,
     RealValuedInverseFastFourierTransform,
 )
 from .ops.frame import Frame
+from .ops.freqt import FrequencyTransform
+from .ops.gnorm import (
+    GeneralizedCepstrumGainNormalization,
+    GeneralizedCepstrumInverseGainNormalization,
+)
+from .ops.mc2b import (
+    MelCepstrumToMLSADigitalFilterCoefficients,
+    MLSADigitalFilterCoefficientsToMelCepstrum,
+)
+from .ops.parcor import (
+    AllPoleToAllZeroDigitalFilterCoefficients,
+    InverseSineToParcorCoefficients,
+    LinearPredictiveCoefficientsToParcorCoefficients,
+    LogAreaRatioToParcorCoefficients,
+    ParcorCoefficientsToInverseSine,
+    ParcorCoefficientsToLinearPredictiveCoefficients,
+    ParcorCoefficientsToLogAreaRatio,
+)
 from .ops.spec import Spectrum
 from .ops.stft import (
     InverseShortTimeFourierTransform,
@@ -84,3 +119,152 @@ def istft(y, *, out_length=None, frame_length=400, frame_period=80,
         y, out_length, frame_length=frame_length, frame_period=frame_period,
         fft_length=fft_length, center=center, window=window, norm=norm,
         symmetric=symmetric, module=False)
+
+
+def dct(x, dct_type=2):
+    """Discrete cosine transform."""
+    return DiscreteCosineTransform._func(x, dct_length=x.shape[-1],
+                                         dct_type=dct_type)
+
+
+def idct(y, dct_type=2):
+    """Inverse discrete cosine transform."""
+    return InverseDiscreteCosineTransform._func(y, dct_length=y.shape[-1],
+                                                dct_type=dct_type)
+
+
+def dst(x, dst_type=2):
+    """Discrete sine transform."""
+    return DiscreteSineTransform._func(x, dst_length=x.shape[-1],
+                                       dst_type=dst_type)
+
+
+def idst(y, dst_type=2):
+    """Inverse discrete sine transform."""
+    return InverseDiscreteSineTransform._func(y, dst_length=y.shape[-1],
+                                              dst_type=dst_type)
+
+
+def dht(x, dht_type=2):
+    """Discrete Hartley transform."""
+    return DiscreteHartleyTransform._func(x, dht_length=x.shape[-1],
+                                          dht_type=dht_type)
+
+
+def idht(y, dht_type=2):
+    """Inverse discrete Hartley transform."""
+    return InverseDiscreteHartleyTransform._func(y, dht_length=y.shape[-1],
+                                                 dht_type=dht_type)
+
+
+def wht(x, wht_type="natural"):
+    """Walsh-Hadamard transform."""
+    return WalshHadamardTransform._func(x, wht_length=x.shape[-1],
+                                        wht_type=wht_type)
+
+
+iwht = wht
+
+
+def freqt(c, out_order, alpha=0.0):
+    """Frequency transform (all-pass warping)."""
+    return FrequencyTransform._func(c, in_order=c.shape[-1] - 1,
+                                    out_order=out_order, alpha=alpha)
+
+
+def mc2b(mc, alpha=0.0):
+    """Mel-cepstrum to MLSA filter coefficients."""
+    return MelCepstrumToMLSADigitalFilterCoefficients._func(
+        mc, cep_order=mc.shape[-1] - 1, alpha=alpha)
+
+
+def b2mc(b, alpha=0.0):
+    """MLSA filter coefficients to mel-cepstrum."""
+    return MLSADigitalFilterCoefficientsToMelCepstrum._func(
+        b, cep_order=b.shape[-1] - 1, alpha=alpha)
+
+
+def gnorm(x, gamma=0.0, c=None):
+    """Gain normalization of generalized cepstrum."""
+    return GeneralizedCepstrumGainNormalization._func(
+        x, cep_order=x.shape[-1] - 1, gamma=gamma, c=c)
+
+
+def ignorm(y, gamma=0.0, c=None):
+    """Inverse gain normalization."""
+    return GeneralizedCepstrumInverseGainNormalization._func(
+        y, cep_order=y.shape[-1] - 1, gamma=gamma, c=c)
+
+
+def alaw(x, abs_max=1.0, a=87.6):
+    """A-law compression."""
+    return ALawCompression._func(x, abs_max=abs_max, a=a)
+
+
+def ialaw(y, abs_max=1.0, a=87.6):
+    """A-law expansion."""
+    return ALawExpansion._func(y, abs_max=abs_max, a=a)
+
+
+def ulaw(x, abs_max=1.0, mu=255):
+    """Mu-law compression."""
+    return MuLawCompression._func(x, abs_max=abs_max, mu=mu)
+
+
+def iulaw(y, abs_max=1.0, mu=255):
+    """Mu-law expansion."""
+    return MuLawExpansion._func(y, abs_max=abs_max, mu=mu)
+
+
+def quantize(x, abs_max=1.0, n_bit=8, quantizer="mid-rise"):
+    """Uniform quantization."""
+    return UniformQuantization._func(x, abs_max=abs_max, n_bit=n_bit,
+                                     quantizer=quantizer)
+
+
+def dequantize(y, abs_max=1.0, n_bit=8, quantizer="mid-rise"):
+    """Inverse uniform quantization."""
+    return InverseUniformQuantization._func(y, abs_max=abs_max, n_bit=n_bit,
+                                            quantizer=quantizer)
+
+
+def lpc2par(a, gamma=1.0, c=None):
+    """LPC to PARCOR."""
+    return LinearPredictiveCoefficientsToParcorCoefficients._func(
+        a, lpc_order=a.shape[-1] - 1, gamma=gamma, c=c)
+
+
+def par2lpc(k, gamma=1.0, c=None):
+    """PARCOR to LPC."""
+    return ParcorCoefficientsToLinearPredictiveCoefficients._func(
+        k, par_order=k.shape[-1] - 1, gamma=gamma, c=c)
+
+
+def par2is(k):
+    """PARCOR to inverse sine."""
+    return ParcorCoefficientsToInverseSine._func(k,
+                                                 par_order=k.shape[-1] - 1)
+
+
+def is2par(s):
+    """Inverse sine to PARCOR."""
+    return InverseSineToParcorCoefficients._func(s,
+                                                 par_order=s.shape[-1] - 1)
+
+
+def par2lar(k):
+    """PARCOR to log area ratio."""
+    return ParcorCoefficientsToLogAreaRatio._func(k,
+                                                  par_order=k.shape[-1] - 1)
+
+
+def lar2par(g):
+    """Log area ratio to PARCOR."""
+    return LogAreaRatioToParcorCoefficients._func(g,
+                                                  par_order=g.shape[-1] - 1)
+
+
+def norm0(a):
+    """All-pole to all-zero filter coefficients (self-inverse)."""
+    return AllPoleToAllZeroDigitalFilterCoefficients._func(
+        a, filter_order=a.shape[-1] - 1)

@@ -1,8 +1,45 @@
+from .companding import (
+    ALawCompression,
+    ALawExpansion,
+    InverseUniformQuantization,
+    MuLawCompression,
+    MuLawExpansion,
+    UniformQuantization,
+)
+from .dct import (
+    DiscreteCosineTransform,
+    DiscreteHartleyTransform,
+    DiscreteSineTransform,
+    InverseDiscreteCosineTransform,
+    InverseDiscreteHartleyTransform,
+    InverseDiscreteSineTransform,
+    InverseWalshHadamardTransform,
+    WalshHadamardTransform,
+)
 from .fftr import (
     RealValuedFastFourierTransform,
     RealValuedInverseFastFourierTransform,
 )
 from .frame import Frame
+from .freqt import FrequencyTransform
+from .gnorm import (
+    GeneralizedCepstrumGainNormalization,
+    GeneralizedCepstrumInverseGainNormalization,
+)
+from .mc2b import (
+    MelCepstrumToMLSADigitalFilterCoefficients,
+    MLSADigitalFilterCoefficientsToMelCepstrum,
+)
+from .parcor import (
+    AllPoleToAllZeroDigitalFilterCoefficients,
+    AllZeroToAllPoleDigitalFilterCoefficients,
+    InverseSineToParcorCoefficients,
+    LinearPredictiveCoefficientsToParcorCoefficients,
+    LogAreaRatioToParcorCoefficients,
+    ParcorCoefficientsToInverseSine,
+    ParcorCoefficientsToLinearPredictiveCoefficients,
+    ParcorCoefficientsToLogAreaRatio,
+)
 from .spec import Spectrum
 from .stft import InverseShortTimeFourierTransform, ShortTimeFourierTransform
 from .unframe import Unframe

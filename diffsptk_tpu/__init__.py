@@ -52,3 +52,18 @@ DHT = DiscreteHartleyTransform
 IDHT = InverseDiscreteHartleyTransform
 WHT = WalshHadamardTransform
 IWHT = InverseWalshHadamardTransform
+
+from .ops import (
+    AllPoleDigitalFilter,
+    AllZeroDigitalFilter,
+    Autocorrelation,
+    InfiniteImpulseResponseDigitalFilter,
+    LevinsonDurbin,
+    LinearInterpolation,
+    LinearPredictiveCodingAnalysis,
+    ReverseLevinsonDurbin,
+    SecondOrderDigitalFilter,
+)
+
+LPC = LinearPredictiveCodingAnalysis
+IIR = InfiniteImpulseResponseDigitalFilter

@@ -268,3 +268,67 @@ def norm0(a):
     """All-pole to all-zero filter coefficients (self-inverse)."""
     return AllPoleToAllZeroDigitalFilterCoefficients._func(
         a, filter_order=a.shape[-1] - 1)
+
+
+def acorr(x, acr_order, out_format="naive"):
+    """Autocorrelation of a framed waveform."""
+    from .ops.acorr import Autocorrelation
+    return Autocorrelation._func(x, frame_length=x.shape[-1],
+                                 acr_order=acr_order, out_format=out_format)
+
+
+def levdur(r, eps=None):
+    """Levinson-Durbin: autocorrelation -> LPC."""
+    from .ops.levdur import LevinsonDurbin
+    return LevinsonDurbin._func(r, lpc_order=r.shape[-1] - 1, eps=eps)
+
+
+def rlevdur(a, n_fft=512):
+    """Reverse Levinson-Durbin: LPC -> autocorrelation."""
+    from .ops.levdur import ReverseLevinsonDurbin
+    return ReverseLevinsonDurbin._func(a, lpc_order=a.shape[-1] - 1,
+                                       n_fft=n_fft)
+
+
+def lpc(x, lpc_order, eps=None):
+    """LPC analysis of a framed waveform."""
+    from .ops.lpc import LinearPredictiveCodingAnalysis
+    return LinearPredictiveCodingAnalysis._func(
+        x, frame_length=x.shape[-1], lpc_order=lpc_order, eps=eps,
+        module=False)
+
+
+def linear_intpl(x, upsampling_factor):
+    """Linear interpolation from frame rate to sample rate."""
+    from .ops.linear_intpl import LinearInterpolation
+    return LinearInterpolation._func(x, upsampling_factor=upsampling_factor)
+
+
+def poledf(x, a, frame_period, ignore_gain=False):
+    """All-pole digital filtering with frame-rate coefficients."""
+    from .ops.poledf import AllPoleDigitalFilter
+    return AllPoleDigitalFilter._func(
+        x, a, filter_order=a.shape[-1] - 1, frame_period=frame_period,
+        ignore_gain=ignore_gain)
+
+
+def zerodf(x, b, frame_period, ignore_gain=False):
+    """All-zero digital filtering with frame-rate coefficients."""
+    from .ops.zerodf import AllZeroDigitalFilter
+    return AllZeroDigitalFilter._func(
+        x, b, filter_order=b.shape[-1] - 1, frame_period=frame_period,
+        ignore_gain=ignore_gain)
+
+
+def dfs(x, b=None, a=None, ir_length=None):
+    """Static digital filtering."""
+    from .ops.dfs import InfiniteImpulseResponseDigitalFilter
+    return InfiniteImpulseResponseDigitalFilter._func(
+        x, b=b, a=a, ir_length=ir_length)
+
+
+def df2(x, sample_rate, **kwargs):
+    """Second-order digital filtering."""
+    from .ops.dfs import SecondOrderDigitalFilter
+    return SecondOrderDigitalFilter._func(x, sample_rate=sample_rate,
+                                          module=False, **kwargs)

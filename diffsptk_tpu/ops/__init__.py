@@ -44,3 +44,13 @@ from .spec import Spectrum
 from .stft import InverseShortTimeFourierTransform, ShortTimeFourierTransform
 from .unframe import Unframe
 from .window import Window
+from .acorr import Autocorrelation
+from .dfs import (
+    InfiniteImpulseResponseDigitalFilter,
+    SecondOrderDigitalFilter,
+)
+from .levdur import LevinsonDurbin, ReverseLevinsonDurbin
+from .linear_intpl import LinearInterpolation
+from .lpc import LinearPredictiveCodingAnalysis
+from .poledf import AllPoleDigitalFilter
+from .zerodf import AllZeroDigitalFilter

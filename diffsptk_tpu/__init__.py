@@ -67,3 +67,21 @@ from .ops import (
 
 LPC = LinearPredictiveCodingAnalysis
 IIR = InfiniteImpulseResponseDigitalFilter
+
+from .ops import (
+    CepstralAnalysis,
+    CepstralDistance,
+    CepstrumToAutocorrelation,
+    CepstrumToMinimumPhaseImpulseResponse,
+    CepstrumToNegativeDerivativeOfPhaseSpectrum,
+    MelCepstralAnalysis,
+    MelGeneralizedCepstrumToMelGeneralizedCepstrum,
+    MelGeneralizedCepstrumToSpectrum,
+    MinimumPhaseImpulseResponseToCepstrum,
+    NegativeDerivativeOfPhaseSpectrumToCepstrum,
+    PseudoInverseMGLSADigitalFilter,
+    PseudoMGLSADigitalFilter,
+)
+
+MLSA = PseudoMGLSADigitalFilter
+IMLSA = PseudoInverseMGLSADigitalFilter

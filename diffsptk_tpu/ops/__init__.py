@@ -54,3 +54,19 @@ from .linear_intpl import LinearInterpolation
 from .lpc import LinearPredictiveCodingAnalysis
 from .poledf import AllPoleDigitalFilter
 from .zerodf import AllZeroDigitalFilter
+from .cep import (
+    CepstralAnalysis,
+    CepstralDistance,
+    CepstrumToAutocorrelation,
+    CepstrumToMinimumPhaseImpulseResponse,
+    CepstrumToNegativeDerivativeOfPhaseSpectrum,
+    MinimumPhaseImpulseResponseToCepstrum,
+    NegativeDerivativeOfPhaseSpectrumToCepstrum,
+)
+from .mcep import CoefficientsFrequencyTransform, MelCepstralAnalysis
+from .mgc2mgc import MelGeneralizedCepstrumToMelGeneralizedCepstrum
+from .mgc2sp import MelGeneralizedCepstrumToSpectrum
+from .mglsadf import (
+    PseudoInverseMGLSADigitalFilter,
+    PseudoMGLSADigitalFilter,
+)

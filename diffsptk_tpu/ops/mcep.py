@@ -1,0 +1,137 @@
+"""Mel-cepstral analysis — the headline Newton solver
+(reference: diffsptk/modules/mcep.py:189-288).
+
+Per iteration: 2 batched FFTs + 3 warp matmuls + one batched
+(M+1)x(M+1) Toeplitz+Hankel solve per frame.  The loop has a fixed trip
+count, so the whole solver jits into a single fused TPU graph: frames batch
+onto the MXU for the matmuls and XLA batches the small LU factorizations.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import BaseOp, Design, check_size, filter_values, get_layer
+from ..utils.linalg import hankel, symmetric_toeplitz
+from .freqt import FrequencyTransform, design_freqt
+
+
+def design_coef_freqt(in_order: int, out_order: int,
+                      alpha: float) -> np.ndarray:
+    """The residual-correlation warp matrix used inside the Newton step
+    (reference: mcep.py:269-288); same recurrence as freqt but seeded with
+    (-alpha)^i in the 0th column."""
+    L1, L2 = in_order + 1, out_order + 1
+    A = np.zeros((L2, L1))
+    A[:, 0] = (-alpha) ** np.arange(L2)
+    for i in range(1, L2):
+        for j in range(1, L1):
+            A[i, j] = A[i - 1, j - 1] + alpha * (A[i, j - 1] - A[i - 1, j])
+    return A.T
+
+
+class CoefficientsFrequencyTransform(BaseOp):
+    _input_names = ("c",)
+
+    def __init__(self, in_order: int, out_order: int,
+                 alpha: float = 0, dtype=None) -> None:
+        self.in_dim = in_order + 1
+        self._setup(self._design(**filter_values(locals(), ("dtype",))),
+                    dtype=dtype)
+
+    @staticmethod
+    def _check(in_order: int, out_order: int, alpha: float) -> None:
+        FrequencyTransform._check(in_order, out_order, alpha)
+
+    @staticmethod
+    def _design(in_order: int, out_order: int, alpha: float = 0) -> Design:
+        CoefficientsFrequencyTransform._check(in_order, out_order, alpha)
+        return Design(arrays={"A": design_coef_freqt(in_order, out_order,
+                                                     alpha)})
+
+    @staticmethod
+    def _forward(c: jnp.ndarray, *, A: jnp.ndarray) -> jnp.ndarray:
+        return jnp.matmul(c, A)
+
+    def __call__(self, c):
+        check_size(c.shape[-1], self.in_dim, "dimension of cepstrum")
+        return self.apply(self.params, c)
+
+
+class MelCepstralAnalysis(BaseOp):
+    """Power spectrum (..., L/2+1) -> mel-cepstrum (..., M+1)."""
+
+    def __init__(self, *, fft_length: int, cep_order: int,
+                 alpha: float = 0, n_iter: int = 0, dtype=None) -> None:
+        self.in_dim = fft_length // 2 + 1
+        self._setup(self._design(**filter_values(locals(), ("dtype",))),
+                    dtype=dtype)
+
+    @staticmethod
+    def _check(fft_length: int, cep_order: int, alpha: float,
+               n_iter: int) -> None:
+        if fft_length <= 1:
+            raise ValueError("fft_length must be greater than 1.")
+        if cep_order < 0:
+            raise ValueError("cep_order must be non-negative.")
+        if fft_length < 2 * cep_order:
+            raise ValueError("cep_order must be <= fft_length // 2.")
+        if 1 <= abs(alpha):
+            raise ValueError("alpha must be in (-1, 1).")
+        if n_iter < 0:
+            raise ValueError("n_iter must be non-negative.")
+
+    @staticmethod
+    def _design(fft_length: int, cep_order: int, alpha: float = 0,
+                n_iter: int = 0, module: bool = True) -> Design:
+        MelCepstralAnalysis._check(fft_length, cep_order, alpha, n_iter)
+        H = fft_length // 2
+        freqt = get_layer(module, FrequencyTransform,
+                          dict(in_order=H, out_order=cep_order, alpha=alpha))
+        ifreqt = get_layer(module, FrequencyTransform,
+                           dict(in_order=cep_order, out_order=H,
+                                alpha=-alpha))
+        rfreqt = get_layer(module, CoefficientsFrequencyTransform,
+                           dict(in_order=H, out_order=2 * cep_order,
+                                alpha=alpha))
+        alpha_vector = (-alpha) ** np.arange(cep_order + 1)
+        return Design(
+            values={"fft_length": fft_length, "n_iter": n_iter},
+            layers={"freqt": freqt, "ifreqt": ifreqt, "rfreqt": rfreqt},
+            arrays={"alpha_vector": alpha_vector})
+
+    @staticmethod
+    def _forward(x: jnp.ndarray, *, fft_length: int, n_iter: int,
+                 freqt, ifreqt, rfreqt,
+                 alpha_vector: jnp.ndarray) -> jnp.ndarray:
+        M = alpha_vector.shape[-1] - 1
+        H = fft_length // 2
+
+        log_x = jnp.log(x)
+        c = jnp.fft.irfft(log_x)
+        scale = np.ones(H + 1)
+        scale[0] = 0.5
+        scale[H] = 0.5
+        mc = freqt(c[..., : H + 1] * jnp.asarray(scale, c.dtype))
+
+        for _ in range(n_iter):
+            c = ifreqt(mc)
+            d = jnp.fft.rfft(c, n=fft_length).real
+            d = jnp.exp(log_x - d - d)
+
+            rd = jnp.fft.irfft(d)
+            rt = rfreqt(rd[..., : H + 1])
+            r = rt[..., : M + 1]
+            ra = r - alpha_vector
+
+            R = symmetric_toeplitz(r)
+            Q = hankel(rt)
+            gradient = jnp.linalg.solve(R + Q, ra[..., None])[..., 0]
+            mc = mc + gradient
+
+        return mc
+
+    def __call__(self, x):
+        check_size(x.shape[-1], self.in_dim, "dimension of spectrum")
+        return self.apply(self.params, x)

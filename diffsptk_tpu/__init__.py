@@ -85,3 +85,25 @@ from .ops import (
 
 MLSA = PseudoMGLSADigitalFilter
 IMLSA = PseudoInverseMGLSADigitalFilter
+
+from .ops import (
+    GriffinLim,
+    HilbertTransform,
+    InverseMelFilterBankAnalysis,
+    InverseModifiedDiscreteCosineTransform,
+    InverseModifiedDiscreteSineTransform,
+    MelFilterBankAnalysis,
+    MelFrequencyCepstralCoefficientsAnalysis,
+    ModifiedDiscreteCosineTransform,
+    ModifiedDiscreteSineTransform,
+    PerceptualLinearPredictiveCoefficientsAnalysis,
+)
+
+MDCT = ModifiedDiscreteCosineTransform
+IMDCT = InverseModifiedDiscreteCosineTransform
+MDST = ModifiedDiscreteSineTransform
+IMDST = InverseModifiedDiscreteSineTransform
+FBANK = MelFilterBankAnalysis
+IFBANK = InverseMelFilterBankAnalysis
+MFCC = MelFrequencyCepstralCoefficientsAnalysis
+PLP = PerceptualLinearPredictiveCoefficientsAnalysis

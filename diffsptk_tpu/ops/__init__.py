@@ -70,3 +70,19 @@ from .mglsadf import (
     PseudoInverseMGLSADigitalFilter,
     PseudoMGLSADigitalFilter,
 )
+from .fbank import (
+    InverseMelFilterBankAnalysis,
+    MelFilterBankAnalysis,
+    MelFrequencyCepstralCoefficientsAnalysis,
+    PerceptualLinearPredictiveCoefficientsAnalysis,
+)
+from .griffin import GriffinLim
+from .mdct import (
+    HilbertTransform,
+    InverseModifiedDiscreteCosineTransform,
+    InverseModifiedDiscreteSineTransform,
+    InverseModifiedDiscreteTransform,
+    ModifiedDiscreteCosineTransform,
+    ModifiedDiscreteSineTransform,
+    ModifiedDiscreteTransform,
+)

@@ -107,3 +107,13 @@ FBANK = MelFilterBankAnalysis
 IFBANK = InverseMelFilterBankAnalysis
 MFCC = MelFrequencyCepstralCoefficientsAnalysis
 PLP = PerceptualLinearPredictiveCoefficientsAnalysis
+
+from .ops import (
+    LinearPredictiveCoefficientsStabilityCheck,
+    LinearPredictiveCoefficientsToLineSpectralPairs,
+    LineSpectralPairsStabilityCheck,
+    LineSpectralPairsToLinearPredictiveCoefficients,
+    LineSpectralPairsToSpectrum,
+    PolynomialToRoots,
+    RootsToPolynomial,
+)

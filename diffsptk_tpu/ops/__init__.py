@@ -86,3 +86,11 @@ from .mdct import (
     ModifiedDiscreteSineTransform,
     ModifiedDiscreteTransform,
 )
+from .lsp import (
+    LinearPredictiveCoefficientsStabilityCheck,
+    LinearPredictiveCoefficientsToLineSpectralPairs,
+    LineSpectralPairsStabilityCheck,
+    LineSpectralPairsToLinearPredictiveCoefficients,
+    LineSpectralPairsToSpectrum,
+)
+from .rootpol import PolynomialToRoots, RootsToPolynomial

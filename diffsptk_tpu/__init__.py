@@ -117,3 +117,14 @@ from .ops import (
     PolynomialToRoots,
     RootsToPolynomial,
 )
+
+from .ops import (
+    MelCepstrumInversePowerNormalization,
+    MelCepstrumPostfiltering,
+    MelCepstrumPowerNormalization,
+    MelGeneralizedCepstralAnalysis,
+    MLSADigitalFilterStabilityCheck,
+    SecondOrderAllPassFrequencyTransform,
+    SecondOrderAllPassInverseFrequencyTransform,
+    SecondOrderAllPassMelCepstralAnalysis,
+)

@@ -94,3 +94,15 @@ from .lsp import (
     LineSpectralPairsToSpectrum,
 )
 from .rootpol import PolynomialToRoots, RootsToPolynomial
+from .freqt2 import (
+    SecondOrderAllPassFrequencyTransform,
+    SecondOrderAllPassInverseFrequencyTransform,
+)
+from .mcpf import (
+    MelCepstrumInversePowerNormalization,
+    MelCepstrumPostfiltering,
+    MelCepstrumPowerNormalization,
+    MLSADigitalFilterStabilityCheck,
+)
+from .mgcep import MelGeneralizedCepstralAnalysis
+from .smcep import SecondOrderAllPassMelCepstralAnalysis

@@ -128,3 +128,11 @@ from .ops import (
     SecondOrderAllPassInverseFrequencyTransform,
     SecondOrderAllPassMelCepstralAnalysis,
 )
+
+from .ops import (
+    Aperiodicity,
+    ExcitationGeneration,
+    Pitch,
+    PitchAdaptiveSpectralAnalysis,
+    WorldSynthesis,
+)

@@ -106,3 +106,8 @@ from .mcpf import (
 )
 from .mgcep import MelGeneralizedCepstralAnalysis
 from .smcep import SecondOrderAllPassMelCepstralAnalysis
+from .ap import Aperiodicity
+from .excite import ExcitationGeneration
+from .pitch import Pitch
+from .pitch_spec import PitchAdaptiveSpectralAnalysis
+from .world_synth import WorldSynthesis

@@ -1,0 +1,405 @@
+"""Band aperiodicity extraction: TANDEM-STRAIGHT and D4C
+(reference: diffsptk/modules/ap.py:30-670).
+
+TANDEM: per-band QMF decimation (lax.conv, stride 2) + 6-tap least-squares
+periodic fit via batched solves.  D4C: static/coarse aperiodicity from
+windowed waveforms + log-linear interpolation to fft_length/2+1 bins.
+All f0-dependent indexing is clipped dense gathers — static shapes
+throughout (XLA requirement).  No gradient flows through F0.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import BaseNonFunctionalOp, to_device_array
+from .spec import Spectrum
+from .window import design_window
+from .world_common import (
+    dc_correction,
+    get_windowed_waveform,
+    linear_smoothing,
+)
+
+
+def _qmf_high() -> np.ndarray:
+    h = np.zeros(41)
+    vals = [+0.00041447996898231424, +0.00078125051417292477,
+            -0.0010917236836275842, -0.0019867925675967589,
+            +0.0020903896961562292, +0.0040940570272849346,
+            -0.0034025808529816698, -0.0074961541272056016,
+            +0.0049722633399330637, +0.012738791249119802,
+            -0.0066960326895749113, -0.020694051570247052,
+            +0.0084324365650413451, +0.033074383758700532,
+            -0.010018936738799522, -0.054231361405808247,
+            +0.011293988915051487, +0.10020081367388213,
+            -0.012120546202484579, -0.31630021039095702,
+            +0.51240682580627639]
+    h[:21] = vals
+    h[21:] = h[19::-1]
+    return h
+
+
+def _qmf_low() -> np.ndarray:
+    h = np.zeros(37)
+    vals = [-0.00065488170077483048, +0.00007561994958159384,
+            +0.0020408456937895227, -0.00074680535322030437,
+            -0.0043502235688264931, +0.0025966428382642732,
+            +0.0076396022827566962, -0.0064904118901497852,
+            -0.011765804538954506, +0.013649908479276255,
+            +0.01636866479016021, -0.026075976030529347,
+            -0.020910294856659444, +0.048260725032316647,
+            +0.024767846611048111, -0.096178467583360641,
+            -0.027359756709866623, +0.31488052161630042,
+            +0.52827343594055032]
+    h[:19] = vals
+    h[19:] = h[17::-1]
+    return h
+
+
+def _conv_stride2(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Reflection-padded cross-correlation with stride 2 over (B, T)."""
+    k = h.shape[0]
+    pad = k // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    out = jax.lax.conv_general_dilated(
+        xp[:, None, :], h[None, None, :], window_strides=(2,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
+    return out[:, 0, :]
+
+
+def _make_interp(coarse_axis: np.ndarray, fft_length: int,
+                 sample_rate: int):
+    freq_axis = np.arange(fft_length // 2 + 1) * (sample_rate / fft_length)
+    idx = np.searchsorted(coarse_axis, freq_axis) - 1
+    idx = np.clip(idx, 0, len(coarse_axis) - 2)
+    x0 = coarse_axis[:-1]
+    dx = coarse_axis[1:] - x0
+    weights = (freq_axis - np.take(x0, idx)) / np.take(dx, idx)
+    return idx, weights
+
+
+class AperiodicityExtractionByTANDEM:
+    """TANDEM-STRAIGHT band aperiodicity."""
+
+    def __init__(self, frame_period: int, sample_rate: int,
+                 fft_length: int | None = None, *,
+                 window_length_ms: float = 30, eps: float = 1e-5,
+                 dtype=None) -> None:
+        if window_length_ms <= 0:
+            raise ValueError("window_length_ms must be positive.")
+        if eps <= 0:
+            raise ValueError("eps must be positive.")
+        self.frame_period = frame_period
+        self.sample_rate = sample_rate
+        self.n_band = int(np.log2(sample_rate / 600))
+        self.default_f0 = 150
+
+        self.cutoff_list = [sample_rate / 2 ** i
+                            for i in range(2, self.n_band + 1)]
+        self.cutoff_list.append(self.cutoff_list[-1])
+
+        self.has_interp = fft_length is not None
+        if self.has_interp:
+            coarse_axis = [sample_rate / 2 ** i
+                           for i in range(self.n_band, 0, -1)]
+            coarse_axis.insert(0, 0)
+            idx, weights = _make_interp(np.asarray(coarse_axis, np.float64),
+                                        fft_length, sample_rate)
+            self.interp_indices = jnp.asarray(idx)
+            self.interp_weights = to_device_array(weights, dtype)
+
+        self.segment_length = [int(c * window_length_ms / 500 + 1.5)
+                               for c in self.cutoff_list]
+        self.ramp = jnp.arange(-1, self.segment_length[0] + 1)
+        self.eye = to_device_array(np.eye(6) * eps, dtype)
+        self.hHP = to_device_array(_qmf_high(), dtype)
+        self.hLP = to_device_array(_qmf_low(), dtype)
+        window = np.zeros((self.n_band, self.segment_length[0]))
+        for i, s in enumerate(self.segment_length):
+            window[i, :s] = np.hanning(s + 2)[1:-1]
+        self.window = to_device_array(window, dtype)
+        self.window_sqrt = jnp.sqrt(self.window)
+
+    def __call__(self, x: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
+        f0 = jax.lax.stop_gradient(
+            jnp.where(f0 <= 32, self.default_f0, f0))
+        B, N = f0.shape
+        time_axis = jnp.arange(N, dtype=f0.dtype) * (
+            self.frame_period / self.sample_rate)
+
+        bap = []
+        lx = x
+        for i in range(self.n_band):
+            if i < self.n_band - 1:
+                hx = _conv_stride2(lx, self.hHP)
+                lx = _conv_stride2(lx, self.hLP)
+                xb = hx
+            else:
+                xb = lx
+
+            tmp_fs = 2 * self.cutoff_list[i]
+            pitch = tmp_fs / f0
+            t0 = (pitch + 0.5).astype(jnp.int32)
+            index_bias = (pitch * 0.5 + 0.5).astype(jnp.int32)
+            curr_pos = (time_axis * tmp_fs + 1.5).astype(jnp.int32)[None, :]
+            origin = curr_pos - index_bias                      # (B, N)
+
+            J = self.segment_length[i]
+            j = self.ramp[: J + 2][None, None, :]
+            T1 = xb.shape[-1] - 1
+            xx = xb[:, None, :]                                 # (B, 1, T)
+
+            def gather(idx):
+                idx = jnp.clip(idx, 0, T1)
+                return jnp.take_along_axis(
+                    jnp.broadcast_to(xx, (B, N, xb.shape[-1])), idx, axis=-1)
+
+            idx_alpha = (origin - t0)[..., None] + j            # (B, N, J+2)
+            H_alpha = gather(idx_alpha)
+            idx_beta = (origin + t0)[..., None] + j
+            H_beta = gather(idx_beta)
+
+            # 3-tap unfolds
+            def unfold3(h):
+                return jnp.stack([h[..., :-2], h[..., 1:-1], h[..., 2:]],
+                                 axis=-1)                       # (B, N, J, 3)
+
+            H = jnp.concatenate((unfold3(H_alpha), unfold3(H_beta)),
+                                axis=-1)                        # (B, N, J, 6)
+            w = self.window[i, :J]
+            Hw = jnp.swapaxes(H, -2, -1) * w                    # (B, N, 6, J)
+            R = Hw @ H                                          # (B, N, 6, 6)
+
+            idx_gamma = origin[..., None] + j[..., 1:-1]
+            X = gather(idx_gamma)[..., None]                    # (B, N, J, 1)
+
+            b = Hw @ X                                          # (B, N, 6, 1)
+            a = jnp.linalg.solve(R + self.eye, b)
+            Ha = H @ a                                          # (B, N, J, 1)
+
+            wsqrt = self.window_sqrt[i, :J]
+            wx = wsqrt * X[..., 0]
+            wxHa = wsqrt * (X - Ha)[..., 0]
+            denom = jnp.std(wx, axis=-1, ddof=1)
+            numer = jnp.std(wxHa, axis=-1, ddof=1)
+            bap.append(numer / (denom + 1e-16))
+
+        bap.append(bap[-1])
+        ap = jnp.stack(bap[::-1], axis=-1)                      # (B, N, D)
+
+        if self.has_interp:
+            y = jnp.log(ap)
+            y0 = y[..., :-1]
+            dy = y[..., 1:] - y0
+            index = jnp.broadcast_to(self.interp_indices[None, None, :],
+                                     (B, N, self.interp_indices.shape[-1]))
+            yi = (jnp.take_along_axis(dy, index, axis=-1)
+                  * self.interp_weights
+                  + jnp.take_along_axis(y0, index, axis=-1))
+            ap = jnp.exp(yi)
+        return ap
+
+
+class AperiodicityExtractionByD4C:
+    """D4C band aperiodicity (Morise 2016)."""
+
+    def __init__(self, frame_period: int, sample_rate: int,
+                 fft_length: int | None = None, *, threshold: float = 0,
+                 default_f0: float = 150, f0_ceil: float = 1200.0,
+                 dtype=None) -> None:
+        if sample_rate < 12000:
+            raise ValueError("sample_rate must be at least 12000 Hz.")
+        if threshold < 0:
+            raise ValueError("threshold must be non-negative.")
+        if default_f0 <= 0:
+            raise ValueError("default_f0 must be positive.")
+        self.frame_period = frame_period
+        self.sample_rate = sample_rate
+        self.threshold = threshold
+        self.default_f0 = default_f0
+        self.f0_ceil = max(f0_ceil, default_f0)
+
+        frequency_interval = 3000
+        upper_limit = 15000
+        floor_f0 = 47
+        self.lowest_f0 = 40
+
+        self.fft_length_love = 2 ** (
+            1 + int(np.log(3 * sample_rate / self.lowest_f0 + 1)
+                    / np.log(2)))
+        self.fft_length_d4c = 2 ** (
+            1 + int(np.log(4 * sample_rate / floor_f0 + 1) / np.log(2)))
+
+        n_ap = int(min(upper_limit, sample_rate / 2 - frequency_interval)
+                   / frequency_interval)
+        window_length = (frequency_interval * self.fft_length_d4c
+                         // sample_rate * 2 + 1)
+        half = window_length // 2
+        padded = self.fft_length_d4c // 2 + 1
+        win = design_window(window_length, "nuttall", norm="none")
+        windows = []
+        for i in range(1, n_ap + 1):
+            center = frequency_interval * i * self.fft_length_d4c // sample_rate
+            left = center - half
+            right = center + half + 1
+            windows.append(np.pad(win, (left, padded - right)))
+        self.windows = to_device_array(np.stack(windows), dtype)
+        self.window_length = window_length
+
+        self.has_interp = fft_length is not None
+        if self.has_interp:
+            coarse_axis = np.arange(n_ap + 2, dtype=np.float64) \
+                * frequency_interval
+            coarse_axis[-1] = sample_rate / 2
+            idx, weights = _make_interp(coarse_axis, fft_length, sample_rate)
+            self.interp_indices = jnp.asarray(idx)
+            self.interp_weights = to_device_array(weights, dtype)
+
+        self.spec_love = Spectrum(self.fft_length_love)
+        self.spec_d4c = Spectrum(self.fft_length_d4c)
+        self.ramp = jnp.arange(self.fft_length_d4c)
+        rate_d4c = sample_rate / self.fft_length_d4c
+        self.max_boundary = int(self.f0_ceil / rate_d4c) + 2
+
+    def __call__(self, x: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
+        eps = 1e-12
+        f0 = jax.lax.stop_gradient(
+            jnp.where(f0 < self.lowest_f0, self.default_f0, f0))[..., None]
+        f0 = jnp.minimum(f0, self.f0_ceil)
+
+        # D4CLoveTrain()
+        if 0 < self.threshold:
+            waveform = get_windowed_waveform(
+                x, f0, 3, 0, self.frame_period, self.sample_rate,
+                self.fft_length_love, "blackman", False, 1e-6, self.ramp)
+            ps = self.spec_love(waveform)
+            rate = self.sample_rate / self.fft_length_love
+            b0 = math.ceil(100 / rate) + 1
+            b1 = math.ceil(4000 / rate)
+            b2 = math.ceil(7900 / rate)
+            ps = jnp.cumsum(ps[..., b0:], axis=-1)
+            aperiodicity0 = (ps[..., b1 - b0] / ps[..., b2 - b0])[..., None]
+
+        # GetStaticCentroid()
+        def get_centroid(bias_ratio):
+            waveform = get_windowed_waveform(
+                x, f0, 4, bias_ratio, self.frame_period, self.sample_rate,
+                self.fft_length_d4c, "blackman", False, 1e-6, self.ramp)
+            power = jnp.sum(jnp.square(waveform), axis=-1, keepdims=True)
+            waveform = waveform / jnp.sqrt(power)
+            s1 = jnp.fft.rfft(waveform)
+            s2 = jnp.fft.rfft(waveform
+                              * jnp.cumsum(waveform != 0, axis=-1))
+            return s1.real * s2.real + s1.imag * s2.imag
+
+        static_centroid = get_centroid(-0.25) + get_centroid(0.25)
+        static_centroid = dc_correction(static_centroid, f0,
+                                        self.sample_rate,
+                                        self.fft_length_d4c, self.ramp)
+
+        # GetSmoothedPowerSpectrum()
+        waveform = get_windowed_waveform(
+            x, f0, 4, 0, self.frame_period, self.sample_rate,
+            self.fft_length_love, "hanning", False, 1e-6, self.ramp)
+        power_spectrum = self.spec_d4c(waveform)
+        power_spectrum = dc_correction(power_spectrum, f0, self.sample_rate,
+                                       self.fft_length_d4c, self.ramp)
+        smoothed = linear_smoothing(power_spectrum, f0, self.sample_rate,
+                                    self.fft_length_d4c, self.ramp,
+                                    self.max_boundary)
+
+        # GetStaticGroupDelay()
+        sgd = static_centroid / (smoothed + eps)
+        sgd = linear_smoothing(sgd, f0 / 2, self.sample_rate,
+                               self.fft_length_d4c, self.ramp,
+                               self.max_boundary)
+        smoothed_gd = linear_smoothing(sgd, f0, self.sample_rate,
+                                       self.fft_length_d4c, self.ramp,
+                                       self.max_boundary)
+        sgd = sgd - smoothed_gd
+
+        # GetCoarseAperiodicity()
+        boundary = round(self.fft_length_d4c * 8 / self.window_length)
+        ps = self.spec_d4c(sgd[..., None, :] * self.windows)
+        ps = jnp.sort(ps, axis=-1)
+        ps = jnp.cumsum(ps, axis=-1)
+        coarse = 10 * jnp.log10(ps[..., -(boundary + 2)] / ps[..., -1])
+        coarse = jnp.clip(coarse + (f0 - 100) / 50, max=-eps)
+
+        # GetAperiodicity()
+        y = coarse
+        if self.has_interp:
+            pad = [(0, 0)] * (y.ndim - 1)
+            y = jnp.pad(y, pad + [(1, 0)], constant_values=-60.0)
+            y = jnp.pad(y, pad + [(0, 1)], constant_values=-eps)
+            y0 = y[..., :-1]
+            dy = y[..., 1:] - y0
+            B, N = f0.shape[0], f0.shape[1]
+            index = jnp.broadcast_to(self.interp_indices[None, None, :],
+                                     (B, N, self.interp_indices.shape[-1]))
+            y = (jnp.take_along_axis(dy, index, axis=-1)
+                 * self.interp_weights
+                 + jnp.take_along_axis(y0, index, axis=-1))
+        aperiodicity = 10 ** (y / 20)
+
+        if 0 < self.threshold:
+            aperiodicity = jnp.where(aperiodicity0 <= self.threshold,
+                                     1 - eps, aperiodicity)
+        return aperiodicity
+
+
+class Aperiodicity(BaseNonFunctionalOp):
+    """(waveform (B?, T), f0 in Hz (B?, T/P)) -> aperiodicity
+    (B?, T/P, L/2+1) (or band aperiodicity when fft_length is None)."""
+
+    def __init__(self, frame_period: int, sample_rate: int,
+                 fft_length: int | None = None, algorithm: str = "tandem",
+                 out_format: str | int = "a", lower_bound: float = 0.001,
+                 upper_bound: float = 0.999, **kwargs) -> None:
+        if frame_period <= 0:
+            raise ValueError("frame_period must be positive.")
+        if sample_rate < 8000:
+            raise ValueError("sample_rate must be at least 8000 Hz.")
+        if fft_length is not None and fft_length < 16:
+            raise ValueError("fft_length must be at least 16.")
+        if not 0 <= lower_bound < upper_bound <= 1:
+            raise ValueError("Invalid lower_bound and upper_bound.")
+        self.lower_bound = lower_bound
+        self.upper_bound = upper_bound
+
+        if algorithm == "tandem":
+            self.extractor = AperiodicityExtractionByTANDEM(
+                frame_period, sample_rate, fft_length, **kwargs)
+        elif algorithm == "d4c":
+            self.extractor = AperiodicityExtractionByD4C(
+                frame_period, sample_rate, fft_length, **kwargs)
+        else:
+            raise ValueError(f"algorithm {algorithm} is not supported.")
+
+        if out_format in (0, "a"):
+            self.convert = lambda ap: ap
+        elif out_format in (1, "p"):
+            self.convert = lambda ap: 1 - ap
+        elif out_format in (2, "a/p"):
+            self.convert = lambda ap: ap / (1 - ap)
+        elif out_format in (3, "p/a"):
+            self.convert = lambda ap: (1 - ap) / ap
+        else:
+            raise ValueError(f"out_format {out_format} is not supported.")
+
+    def __call__(self, x: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
+        one_d = x.ndim == 1
+        if one_d:
+            x = x[None]
+            f0 = f0[None]
+        ap = self.extractor(x, f0)
+        ap = jnp.clip(ap, self.lower_bound, self.upper_bound)
+        ap = self.convert(ap)
+        if one_d:
+            ap = ap[0]
+        return ap

@@ -1,0 +1,172 @@
+"""Pitch extraction (reference: diffsptk/modules/pitch.py).
+
+The reference wraps the pretrained torchcrepe/penn CNNs.  This build ships:
+
+* ``algorithm='yin'`` (default): a TPU-native batched YIN tracker —
+  FFT-based difference function, cumulative-mean normalization, threshold
+  dip picking with parabolic refinement.  Fully jittable, no pretrained
+  weights needed (weights for the neural trackers cannot be downloaded in
+  a hermetic build).
+* ``algorithm in ('crepe', 'fcnf0')``: raises with guidance until
+  checkpoint conversion is wired (planned; the reference's behavior depends
+  on released third-party weights).
+
+Output formats match the reference: pitch (period in samples), f0, log-f0
+(unvoiced -> -1e10), prob.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import BaseNonFunctionalOp
+
+UNVOICED_SYMBOL = 0.0
+
+
+def _yin_frames(x: jnp.ndarray, frame_period: int, window_length: int,
+                tau_max: int) -> jnp.ndarray:
+    """Slice frames of length window_length + tau_max every frame_period
+    (centered), zero-padded at the edges."""
+    L = window_length + tau_max
+    T = x.shape[-1]
+    n_frames = T // frame_period
+    pad = [(0, 0)] * (x.ndim - 1) + [(L // 2, L)]
+    xp = jnp.pad(x, pad)
+    idx = (np.arange(n_frames)[:, None] * frame_period
+           + np.arange(L)[None, :])
+    return xp[..., idx]                                  # (..., N, L)
+
+
+def yin_difference(frames: jnp.ndarray, window_length: int,
+                   tau_max: int) -> jnp.ndarray:
+    """d[tau] = sum_{j<W} (x[j] - x[j+tau])^2 for tau in [0, tau_max)."""
+    L = frames.shape[-1]
+    n_fft = 1
+    while n_fft < 2 * L:
+        n_fft *= 2
+    head = frames[..., :window_length]
+    F_full = jnp.fft.rfft(frames, n=n_fft)
+    F_head = jnp.fft.rfft(head, n=n_fft)
+    acf = jnp.fft.irfft(jnp.conj(F_head) * F_full)[..., :tau_max]
+    sq = jnp.cumsum(jnp.square(frames), axis=-1)
+    e0 = sq[..., window_length - 1]
+    # energy of x[tau : tau+W]
+    pad = jnp.pad(sq, [(0, 0)] * (sq.ndim - 1) + [(1, 0)])
+    idx = np.arange(tau_max)
+    e_tau = (jnp.take(pad, idx + window_length, axis=-1)
+             - jnp.take(pad, idx, axis=-1))
+    return e0[..., None] + e_tau - 2 * acf
+
+
+def yin_cmnd(d: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative-mean-normalized difference; d'[0] = 1."""
+    tau = jnp.arange(d.shape[-1], dtype=d.dtype)
+    csum = jnp.cumsum(d, axis=-1)
+    cm = d * tau / jnp.where(csum == 0, 1.0, csum)
+    return cm.at[..., 0].set(1.0)
+
+
+class PitchExtractionByYIN:
+    def __init__(self, frame_period: int, sample_rate: int, *,
+                 f_min: float = 60.0, f_max: float = 500.0,
+                 voicing_threshold: float = 0.3,
+                 window_length: int | None = None) -> None:
+        self.frame_period = frame_period
+        self.sample_rate = sample_rate
+        self.f_min = f_min
+        self.f_max = f_max
+        self.voicing_threshold = voicing_threshold
+        self.tau_min = max(int(sample_rate / f_max), 2)
+        self.tau_max = int(np.ceil(sample_rate / f_min)) + 1
+        self.window_length = window_length or 2 * self.tau_max
+
+    def calc_prob(self, x: jnp.ndarray) -> jnp.ndarray:
+        frames = _yin_frames(x, self.frame_period, self.window_length,
+                             self.tau_max)
+        d = yin_difference(frames, self.window_length, self.tau_max)
+        return yin_cmnd(d)
+
+    def calc_pitch(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Returns f0 in Hz with 0 at unvoiced frames."""
+        cm = self.calc_prob(x)                           # (..., N, tau_max)
+        tau_axis = jnp.arange(self.tau_max)
+        in_range = (self.tau_min <= tau_axis) & (tau_axis
+                                                 < self.tau_max - 1)
+        cm_masked = jnp.where(in_range, cm, jnp.inf)
+
+        # first local minimum below the threshold (YIN step 4)
+        prev = jnp.concatenate([cm[..., :1] + 1, cm[..., :-1]], axis=-1)
+        nxt = jnp.concatenate([cm[..., 1:], cm[..., -1:] + 1], axis=-1)
+        is_local_min = (cm < prev) & (cm <= nxt)
+        below = (cm_masked < self.voicing_threshold) & is_local_min
+        any_below = jnp.any(below, axis=-1)
+        first_dip = jnp.argmax(below, axis=-1)
+        global_min = jnp.argmin(cm_masked, axis=-1)
+        tau_star = jnp.where(any_below, first_dip, global_min)
+
+        # refine the dip: local minimum after first crossing
+        # parabolic interpolation around tau_star
+        t = tau_star
+        tm = jnp.clip(t - 1, 0, self.tau_max - 1)
+        tp = jnp.clip(t + 1, 0, self.tau_max - 1)
+        ym = jnp.take_along_axis(cm, tm[..., None], -1)[..., 0]
+        y0 = jnp.take_along_axis(cm, t[..., None], -1)[..., 0]
+        yp = jnp.take_along_axis(cm, tp[..., None], -1)[..., 0]
+        denom = ym - 2 * y0 + yp
+        offset = jnp.where(jnp.abs(denom) > 1e-12,
+                           0.5 * (ym - yp) / jnp.where(denom == 0, 1.0,
+                                                       denom), 0.0)
+        offset = jnp.clip(offset, -1.0, 1.0)
+        tau_ref = t.astype(cm.dtype) + offset
+
+        cmin = jnp.min(cm_masked, axis=-1)
+        voiced = cmin < self.voicing_threshold
+        f0 = jnp.where(voiced, self.sample_rate / jnp.maximum(tau_ref, 1.0),
+                       UNVOICED_SYMBOL)
+        return f0
+
+
+class Pitch(BaseNonFunctionalOp):
+    """Waveform (B?, T) -> pitch/f0/log-f0 (B?, N) or prob (B?, N, C)."""
+
+    def __init__(self, frame_period: int, sample_rate: int,
+                 algorithm: str = "yin", out_format: str | int = "pitch",
+                 **kwargs) -> None:
+        if frame_period <= 0:
+            raise ValueError("frame_period must be positive.")
+        if sample_rate < 8000:
+            raise ValueError("sample_rate must be at least 8000 Hz.")
+
+        if algorithm == "yin":
+            self.extractor = PitchExtractionByYIN(frame_period, sample_rate,
+                                                  **kwargs)
+        elif algorithm in ("crepe", "fcnf0"):
+            raise NotImplementedError(
+                f"algorithm '{algorithm}' requires pretrained third-party "
+                "weights that cannot be fetched in this build; use "
+                "algorithm='yin'.")
+        else:
+            raise ValueError(f"algorithm {algorithm} is not supported.")
+
+        def calc_pitch(x, convert, unvoiced_symbol=UNVOICED_SYMBOL):
+            f0 = self.extractor.calc_pitch(x)
+            mask = f0 != UNVOICED_SYMBOL
+            safe = jnp.where(mask, f0, 1.0)
+            return jnp.where(mask, convert(safe), unvoiced_symbol)
+
+        if out_format in (0, "pitch"):
+            self.convert = lambda x: calc_pitch(x, lambda y: sample_rate / y)
+        elif out_format in (1, "f0"):
+            self.convert = lambda x: calc_pitch(x, lambda y: y)
+        elif out_format in (2, "log-f0"):
+            self.convert = lambda x: calc_pitch(x, jnp.log, -1.0e10)
+        elif out_format == "prob":
+            self.convert = lambda x: self.extractor.calc_prob(x)
+        else:
+            raise ValueError(f"out_format {out_format} is not supported.")
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.stop_gradient(self.convert(x))

@@ -1,0 +1,131 @@
+"""Shared WORLD vocoder math (reference:
+diffsptk/third_party/world/common.py:58-240, re-expressed in JAX with
+static shapes: all f0-adaptive windows/smoothers are dense masked gathers).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .frame import Frame
+
+TAU = 2 * np.pi
+
+
+def interp1(x, y, xq, method: str = "linear", batching=(False, False)):
+    """Piecewise-linear interpolation with constant extrapolation
+    (matching the reference's interp1)."""
+    if not batching[0]:
+        x = jnp.broadcast_to(x, xq.shape[:-1] + x.shape[-1:])
+    if not batching[1]:
+        y = jnp.broadcast_to(y, xq.shape[:-1] + y.shape[-1:])
+    m = jnp.diff(y, axis=-1) / jnp.diff(x, axis=-1)
+    b = y[..., :-1] - m * x[..., :-1]
+    indices = jax.vmap(jnp.searchsorted)(
+        x.reshape(-1, x.shape[-1]), xq.reshape(-1, xq.shape[-1])
+    ).reshape(xq.shape)
+    if method == "linear":
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(1, 1)])
+        b = jnp.concatenate([y[..., :1], b, y[..., -1:]], axis=-1)
+    elif method == "*linear":
+        indices = jnp.clip(indices - 1, 0, m.shape[-1] - 1)
+    else:
+        raise ValueError(f"Unknown method: {method}")
+    mg = jnp.take_along_axis(m, indices, axis=-1)
+    bg = jnp.take_along_axis(b, indices, axis=-1)
+    return mg * xq + bg
+
+
+def interp1Q(x, shift, y, xi):
+    """Quantized linear interpolation: sample y (uniform grid starting at x
+    with step `shift`) at positions xi."""
+    z = (xi - x) / shift
+    base = jnp.clip(z.astype(jnp.int32), 0, y.shape[-1] - 1)
+    frac = z - base
+    delta = jnp.diff(y, axis=-1, append=y[..., -1:])
+    yb = jnp.take_along_axis(y, base, axis=-1)
+    db = jnp.take_along_axis(delta, base, axis=-1)
+    return yb + db * frac
+
+
+def dc_correction(power_spectrum, f0, sample_rate, fft_length, ramp):
+    rate = sample_rate / fft_length
+    low_axis = ramp[: fft_length // 2 + 1] * rate
+    corrected = interp1Q(f0, -rate, power_spectrum, low_axis)
+    mask = low_axis < f0
+    return power_spectrum + corrected * mask
+
+
+def get_minimum_phase_spectrum(spectrum):
+    L = spectrum.shape[-1]
+    cepstrum = jnp.fft.irfft(0.5 * jnp.log(spectrum))
+    cepstrum = jnp.concatenate(
+        (cepstrum[..., :1], 2 * cepstrum[..., 1:L - 1],
+         cepstrum[..., L - 1:L]), axis=-1)
+    C = jnp.fft.rfft(cepstrum, n=2 * (L - 1))
+    return jnp.exp(C.real) * jnp.exp(1j * C.imag)
+
+
+def get_windowed_waveform(x, f0, window_length_ratio, bias_ratio,
+                          frame_period, sample_rate, fft_length, window_type,
+                          normalize_window, eps, ramp, key=None):
+    half_window_length = jnp.round(
+        window_length_ratio / 2 * sample_rate / f0)
+    bias = jnp.round(bias_ratio * sample_rate / f0)
+    base_index = ramp[:fft_length] - bias - fft_length // 2
+    position = base_index / (window_length_ratio / 2 * sample_rate)
+    z = jnp.pi * position * f0
+    if window_type == "hanning":
+        window = 0.5 + 0.5 * jnp.cos(z)
+    elif window_type == "blackman":
+        window = 0.42 + 0.5 * jnp.cos(z) + 0.08 * jnp.cos(2 * z)
+    else:
+        raise RuntimeError
+    mask = (-half_window_length <= base_index) & (base_index
+                                                  <= half_window_length)
+    window = window * mask
+    if normalize_window:
+        window = window / jnp.linalg.norm(window, axis=-1, keepdims=True)
+
+    waveform = Frame._forward(
+        x, frame_length=fft_length, frame_period=frame_period, center=True,
+        zmean=False, mode="replicate") * window
+    if eps > 0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        waveform = waveform + (jax.random.normal(key, waveform.shape,
+                                                 waveform.dtype)
+                               * eps * mask)
+    w1 = jnp.sum(waveform, axis=-1, keepdims=True)
+    w2 = jnp.sum(window, axis=-1, keepdims=True)
+    waveform = waveform - window * (w1 / w2)
+    return waveform
+
+
+def linear_smoothing(power_spectrum, width, sample_rate, fft_length, ramp,
+                     max_boundary: int):
+    """Rectangular smoothing of the power spectrum with per-frame width.
+
+    ``max_boundary`` must statically bound width/rate + 1 (XLA needs a
+    fixed mirror size); the reference computes it dynamically
+    (common.py:170).
+    """
+    one_sided = fft_length // 2 + 1
+    rate = sample_rate / fft_length
+    boundary = (width / rate).astype(jnp.int32) + 1
+    pad = [(0, 0)] * (power_spectrum.ndim - 1) + [(max_boundary,
+                                                   max_boundary)]
+    mirror = jnp.pad(power_spectrum, pad, mode="reflect")
+    bias = max_boundary - boundary
+    mask = bias <= ramp[:max_boundary]
+    mask = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1)
+                   + [(0, one_sided + max_boundary)], constant_values=True)
+    mirror = mirror * mask
+    segment = jnp.cumsum(mirror * rate, axis=-1)
+    origin = -(max_boundary - 0.5) * rate
+    freq_axis = ramp[:one_sided] * rate - width / 2
+    low = interp1Q(origin, rate, segment, freq_axis)
+    high = interp1Q(origin, rate, segment, freq_axis + width)
+    return (high - low) / width

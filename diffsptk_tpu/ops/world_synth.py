@@ -1,0 +1,177 @@
+"""WORLD synthesis (reference: diffsptk/modules/world_synth.py:58-321).
+
+TPU-first redesign of the pulse machinery (SURVEY.md §7 hard-part #2): the
+reference extracts pulse positions with ``torch.nonzero`` (data-dependent
+shape).  Here pulses live in a fixed-size slot table of
+``max_pulses = T / min_period`` entries per batch row: a cumsum of the pulse
+mask assigns each pulse an ordinal, one scatter writes its time index into
+its slot, and all per-pulse responses (minimum-phase spectra, fractional
+shifts, noise) are computed batched over slots with invalid slots masked.
+The final overlap-add is one scatter-add of (B, max_pulses, fft_length)
+into (B, T + margin).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import BaseNonFunctionalOp, to_device_array
+from .world_common import TAU, get_minimum_phase_spectrum, interp1
+
+
+class WorldSynthesis(BaseNonFunctionalOp):
+    """(f0 (B?, N), aperiodicity (B?, N, D), envelope (B?, N, D)) ->
+    waveform (B?, N*P)."""
+
+    def __init__(self, frame_period: int, sample_rate: int, fft_length: int,
+                 *, default_f0: float = 500, f0_ceil: float = 1200.0,
+                 seed: int = 0, dtype=None) -> None:
+        if frame_period <= 0:
+            raise ValueError("frame_period must be positive.")
+        if sample_rate < 8000:
+            raise ValueError("sample_rate must be at least 8000 Hz.")
+        if fft_length < 1024:
+            raise ValueError("fft_length must be at least 1024.")
+        self.frame_period = frame_period
+        self.sample_rate = sample_rate
+        self.fft_length = fft_length
+        self.default_f0 = default_f0
+        self.f0_ceil = max(f0_ceil, default_f0)
+        self.seed = seed
+
+        self.ramp = jnp.arange(fft_length)
+
+        # GetDCRemover()
+        r = np.arange(1, fft_length // 2 + 1)
+        dc = 0.5 - 0.5 * np.cos(TAU / (1 + fft_length) * r)
+        dc = dc / (2 * np.sum(dc))
+        self.dc_remover = to_device_array(
+            np.concatenate([dc, dc[::-1]]), dtype)
+
+    def __call__(self, f0, ap, sp, out_length: int | None = None):
+        one_d = f0.ndim == 1
+        if one_d:
+            f0, ap, sp = f0[None], ap[None], sp[None]
+
+        B, N, D = sp.shape
+        P = self.frame_period
+        T = N * P
+        L = self.fft_length
+        H = L // 2
+
+        eps = 1e-6
+        ap = jnp.clip(ap, eps, 1 - eps)
+        sp = jnp.clip(sp, min=eps)
+
+        # GetTemporalParametersForTimeBase()
+        f_min = self.sample_rate / L + 1
+        coarse_f0 = jax.lax.stop_gradient(jnp.where(f0 < f_min, 0.0, f0))
+        coarse_vuv = (0 < coarse_f0).astype(coarse_f0.dtype)
+        time_axis = (jnp.arange(T, dtype=f0.dtype)
+                     / self.sample_rate)[None, :].repeat(B, 0)
+        coarse_time = (jnp.arange(N, dtype=f0.dtype)
+                       * (P / self.sample_rate))[None, :].repeat(B, 0)
+        interp_f0 = interp1(coarse_time, coarse_f0, time_axis,
+                            batching=(True, True))
+        interp_vuv = interp1(coarse_time, coarse_vuv, time_axis,
+                             batching=(True, True)) > 0.5
+        interp_f0 = jnp.where(interp_vuv, interp_f0, self.default_f0)
+
+        # GetPulseLocationsForTimeBase() — fixed slot table.
+        total_phase = jnp.cumsum(TAU / self.sample_rate * interp_f0,
+                                 axis=-1)
+        wrap_phase = jnp.mod(total_phase, TAU)
+        dphase = jnp.abs(jnp.diff(wrap_phase, axis=-1))   # (B, T-1)
+        pulse_mask = jnp.pi < dphase
+
+        min_period = max(int(self.sample_rate / self.f0_ceil / 2), 1)
+        max_pulses = T // min_period + 2
+
+        ordinal = jnp.cumsum(pulse_mask.astype(jnp.int32), axis=-1) - 1
+        slot = jnp.where(pulse_mask, ordinal, max_pulses)  # overflow slot
+        t_idx_src = jnp.broadcast_to(jnp.arange(T - 1), pulse_mask.shape)
+        time_index = jnp.zeros((B, max_pulses + 1), jnp.int32)
+        time_index = time_index.at[
+            jnp.arange(B)[:, None], slot].set(t_idx_src.astype(jnp.int32),
+                                              mode="drop")
+        time_index = time_index[:, :max_pulses]           # (B, Pmax)
+        n_pulses = jnp.sum(pulse_mask, axis=-1)           # (B,)
+        valid = jnp.arange(max_pulses)[None, :] < n_pulses[:, None]
+        # Invalid slots repeat the last valid pulse index so the trailing
+        # diff (noise_size of the final pulse) is 0, as in the reference
+        # (world_synth.py:277 appends the last index).
+        last_valid = jnp.max(jnp.where(valid, time_index, 0), axis=-1,
+                             keepdims=True)
+        time_index = jnp.where(valid, time_index, last_valid)
+
+        bidx = jnp.arange(B)[:, None]
+        pulse_locations = jnp.take_along_axis(time_axis, time_index, -1)
+        vuv = jnp.take_along_axis(interp_vuv, time_index, -1)[..., None]
+        y1 = jnp.take_along_axis(wrap_phase, time_index, -1) - TAU
+        y2 = jnp.take_along_axis(wrap_phase, time_index + 1, -1)
+        time_shift = -y1 / (y2 - y1) / self.sample_rate   # (B, Pmax)
+
+        # GetSpectralEnvelope() / GetAperiodicRatio()
+        frame = pulse_locations * (self.sample_rate / P)
+        f_floor = jnp.clip(jnp.floor(frame).astype(jnp.int32), max=N - 1)
+        f_ceil = jnp.clip(jnp.ceil(frame).astype(jnp.int32), max=N - 1)
+        w_hi = (frame - f_floor)[..., None]
+        w_lo = 1 - w_hi
+        env = w_lo * sp[bidx, f_floor] + w_hi * sp[bidx, f_ceil]
+        apr = (w_lo * ap[bidx, f_floor] + w_hi * ap[bidx, f_ceil]) ** 2
+
+        # GetPeriodicResponse() with fractional time shift
+        weight = 1 - apr
+        spectrum = get_minimum_phase_spectrum(weight * env)
+        coeff = TAU * self.sample_rate / L * time_shift
+        phase = jnp.exp(-1j * self.ramp[:D] * coeff[..., None])
+        periodic = jnp.fft.hfft(spectrum * phase)
+        periodic = jnp.concatenate(
+            [periodic[..., :1], jnp.flip(periodic[..., 1:], -1)], axis=-1)
+        periodic = jnp.fft.fftshift(periodic, axes=-1)
+
+        # RemoveDCComponent()
+        dc_component = jnp.sum(periodic[..., H:], axis=-1, keepdims=True)
+        dd = -dc_component * self.dc_remover
+        periodic = jnp.concatenate(
+            (dd[..., :H], periodic[..., H:] + dd[..., H:]), axis=-1)
+        periodic = periodic * (0.5 < vuv)
+
+        # GetNoiseSpectrum()
+        noise_size = jnp.diff(time_index, axis=-1,
+                              append=time_index[:, -1:])
+        noise_size = jnp.clip(noise_size, min=0)[..., None]
+        key = jax.random.PRNGKey(self.seed)
+        noise = jax.random.normal(key, periodic.shape, periodic.dtype)
+        mask = self.ramp < noise_size
+        noise = noise * mask
+        avg = jnp.sum(noise, axis=-1, keepdims=True) / jnp.where(
+            noise_size == 0, 1, noise_size)
+        noise = (noise - avg) * mask
+        noise_spectrum = jnp.fft.rfft(noise)
+
+        # GetAperiodicResponse()
+        weight = jnp.where(0 < vuv, apr, 1.0)
+        spectrum = get_minimum_phase_spectrum(weight * env) * noise_spectrum
+        aperiodic = jnp.fft.hfft(spectrum)
+        aperiodic = jnp.concatenate(
+            [aperiodic[..., :1], jnp.flip(aperiodic[..., 1:], -1)], axis=-1)
+        aperiodic = jnp.fft.fftshift(aperiodic, axes=-1)
+
+        # Synthesis(): masked scatter-add overlap-add
+        response = (periodic * jnp.sqrt(noise_size) + aperiodic) / L
+        response = response * valid[..., None]
+        margin = (L + P - 1) // P * P
+        T_ = T + margin
+        y = jnp.zeros((B, T_), sp.dtype)
+        idx = time_index[..., None] + self.ramp[None, None, :]
+        y = y.at[bidx[..., None], idx].add(response, mode="drop")
+        y = y[:, H:H + T]
+
+        if one_d:
+            y = y[0]
+        if out_length is not None:
+            y = y[..., :out_length]
+        return y

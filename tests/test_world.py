@@ -1,0 +1,131 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import diffsptk_tpu
+from tests import utils as U
+from tests.oracle import reference
+
+RNG = np.random.default_rng(0)
+SR = 16000
+FP = 80
+FFT = 1024
+
+
+def _f0_track(n_frames, f0=120.0, voiced=None):
+    f0s = np.full(n_frames, f0)
+    if voiced is not None:
+        f0s[~voiced] = 0.0
+    return f0s
+
+
+@pytest.mark.parametrize("voiced_region", ["pulse", "sinusoidal", "sawtooth",
+                                           "inverted-sawtooth", "triangle",
+                                           "square", "harmonic-pulse"])
+def test_excite_voiced(voiced_region):
+    p = np.array([40.0, 40.0, 42.0, 42.0, 44.0, 44.0])
+    ours = diffsptk_tpu.ExcitationGeneration(
+        16, voiced_region=voiced_region, unvoiced_region="zeros")
+    ref = reference.ExcitationGeneration(
+        16, voiced_region=voiced_region, unvoiced_region="zeros")
+    U.check_parity(ours, ref, p)
+
+
+def test_excite_mixed_voicing():
+    p = np.array([40.0, 40.0, 0.0, 0.0, 50.0, 50.0])
+    ours = diffsptk_tpu.ExcitationGeneration(16, unvoiced_region="zeros")
+    ref = reference.ExcitationGeneration(16, unvoiced_region="zeros")
+    U.check_parity(ours, ref, p)
+
+
+def test_cheaptrick_parity(data_wav):
+    x = np.asarray(data_wav)[:4800]
+    n_frames = len(x) // FP
+    f0 = _f0_track(n_frames, 120.0)
+    ours = diffsptk_tpu.PitchAdaptiveSpectralAnalysis(FP, SR, FFT)
+    ref = reference.PitchAdaptiveSpectralAnalysis(FP, SR, FFT)
+    sp_ours = np.asarray(ours(U.to_jax(x), U.to_jax(f0)))
+    with torch.no_grad():
+        sp_ref = ref(U.to_torch(x), U.to_torch(f0)).numpy()
+    np.testing.assert_allclose(sp_ours, sp_ref, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("algorithm", ["tandem", "d4c"])
+def test_aperiodicity_parity(algorithm, data_wav):
+    x = np.asarray(data_wav)[:4800]
+    n_frames = len(x) // FP
+    f0 = _f0_track(n_frames, 120.0)
+    ours = diffsptk_tpu.Aperiodicity(FP, SR, FFT, algorithm=algorithm)
+    ref = reference.Aperiodicity(FP, SR, FFT, algorithm=algorithm)
+    ap_ours = np.asarray(ours(U.to_jax(x), U.to_jax(f0)))
+    with torch.no_grad():
+        ap_ref = ref(U.to_torch(x), U.to_torch(f0)).numpy()
+    if algorithm == "tandem":
+        np.testing.assert_allclose(ap_ours, ap_ref, rtol=1e-4, atol=1e-5)
+    else:
+        # D4C dithers the windowed waveform with 1e-6 noise by design
+        # (ap.py:563); RNG differs, so allow a small absolute band.
+        np.testing.assert_allclose(ap_ours, ap_ref, atol=2e-2)
+        r = np.corrcoef(ap_ours.ravel(), ap_ref.ravel())[0, 1]
+        assert r > 0.999, r
+
+
+def test_world_synth_periodic_close_to_reference():
+    # fully voiced, tiny aperiodicity -> noise contribution negligible,
+    # so ours and the reference should match closely despite RNG
+    n_frames = 30
+    f0 = _f0_track(n_frames, 120.0)
+    D = FFT // 2 + 1
+    sp = np.exp(-np.linspace(0, 6, D))[None, :].repeat(n_frames, 0) * 1e-2
+    ap = np.full((n_frames, D), 0.001)
+    ours = diffsptk_tpu.WorldSynthesis(FP, SR, FFT)
+    ref = reference.WorldSynthesis(FP, SR, FFT)
+    y_ours = np.asarray(ours(U.to_jax(f0), U.to_jax(ap), U.to_jax(sp)))
+    with torch.no_grad():
+        y_ref = ref(U.to_torch(f0), U.to_torch(ap), U.to_torch(sp)).numpy()
+    r = np.corrcoef(y_ours, y_ref)[0, 1]
+    assert r > 0.999, r
+
+
+def test_yin_pitch_on_sine():
+    t = np.arange(SR) / SR
+    freq = 150.0
+    x = np.sin(2 * np.pi * freq * t)
+    pitch = diffsptk_tpu.Pitch(FP, SR, algorithm="yin", out_format="f0")
+    f0 = np.asarray(pitch(U.to_jax(x)))
+    mid = f0[10:-10]
+    assert np.all(mid > 0)
+    assert np.max(np.abs(mid - freq)) < 2.0, mid
+
+
+def test_yin_unvoiced_on_noise():
+    x = RNG.standard_normal(SR // 2) * 0.1
+    pitch = diffsptk_tpu.Pitch(FP, SR, algorithm="yin", out_format="f0")
+    f0 = np.asarray(pitch(U.to_jax(x)))
+    assert np.mean(f0 == 0) > 0.6  # mostly unvoiced
+
+
+def test_world_chain_roundtrip(data_wav):
+    """Config #4: f0 (YIN) + CheapTrick + D4C -> WorldSynthesis; check the
+    result resembles the input (correlation of envelopes)."""
+    x = np.asarray(data_wav)
+    n_frames = len(x) // FP
+    pitch = diffsptk_tpu.Pitch(FP, SR, algorithm="yin", out_format="f0")
+    f0 = pitch(U.to_jax(x))[:n_frames]
+    sp = diffsptk_tpu.PitchAdaptiveSpectralAnalysis(FP, SR, FFT)(
+        U.to_jax(x), f0)
+    ap = diffsptk_tpu.Aperiodicity(FP, SR, FFT, algorithm="d4c")(
+        U.to_jax(x), f0)
+    y = diffsptk_tpu.WorldSynthesis(FP, SR, FFT)(f0, ap, sp,
+                                                 out_length=len(x))
+    y = np.asarray(y)
+    assert np.all(np.isfinite(y))
+    # compare smoothed energy envelopes
+    import diffsptk_tpu.functional as F
+    ex = np.asarray(F.stft(U.to_jax(x), frame_length=400, frame_period=80,
+                           fft_length=512)).sum(-1)
+    ey = np.asarray(F.stft(U.to_jax(y), frame_length=400, frame_period=80,
+                           fft_length=512)).sum(-1)
+    r = np.corrcoef(np.log(ex + 1e-8), np.log(ey + 1e-8))[0, 1]
+    assert r > 0.8, r

@@ -136,3 +136,19 @@ from .ops import (
     PitchAdaptiveSpectralAnalysis,
     WorldSynthesis,
 )
+
+from .ops import (
+    ChromaFilterBankAnalysis,
+    ConstantQTransform,
+    FractionalOctaveBandAnalysis,
+    GammatoneFilterBankAnalysis,
+    GammatoneFilterBankSynthesis,
+    InverseConstantQTransform,
+    PseudoQuadratureMirrorFilterBankAnalysis,
+    PseudoQuadratureMirrorFilterBankSynthesis,
+)
+
+CQT = ConstantQTransform
+ICQT = InverseConstantQTransform
+PQMF = PseudoQuadratureMirrorFilterBankAnalysis
+IPQMF = PseudoQuadratureMirrorFilterBankSynthesis

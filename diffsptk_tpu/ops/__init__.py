@@ -111,3 +111,14 @@ from .excite import ExcitationGeneration
 from .pitch import Pitch
 from .pitch_spec import PitchAdaptiveSpectralAnalysis
 from .world_synth import WorldSynthesis
+from .chroma import ChromaFilterBankAnalysis
+from .cqt import ConstantQTransform, InverseConstantQTransform
+from .gammatone import (
+    GammatoneFilterBankAnalysis,
+    GammatoneFilterBankSynthesis,
+)
+from .pqmf import (
+    FractionalOctaveBandAnalysis,
+    PseudoQuadratureMirrorFilterBankAnalysis,
+    PseudoQuadratureMirrorFilterBankSynthesis,
+)

@@ -1,0 +1,143 @@
+"""Host-side constant-Q/VQT design math (standard librosa-style wavelet
+construction; behavioral reference: diffsptk/third_party/librosa).
+
+Everything here runs in numpy at design time.  Bases are kept dense
+(sparsification is an inference-time memory optimization that does not pay
+off on TPU where the basis matmul rides the MXU).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_WINDOW_BANDWIDTHS: dict = {}
+
+
+def hann(n: int) -> np.ndarray:
+    return 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / max(n - 1, 1))
+
+
+def get_window(window: str, n: int) -> np.ndarray:
+    if window in ("hann", "hanning"):
+        return hann(n)
+    if window == "hamming":
+        return 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(n) / max(n - 1, 1))
+    if window in ("rectangular", "boxcar", "ones"):
+        return np.ones(n)
+    raise ValueError(f"window {window} is not supported.")
+
+
+def window_bandwidth(window: str, n: int = 1000) -> float:
+    if window not in _WINDOW_BANDWIDTHS:
+        w = get_window(window, n)
+        _WINDOW_BANDWIDTHS[window] = (
+            n * np.sum(w ** 2) / (np.sum(w) ** 2 + np.finfo(np.float64).tiny))
+    return _WINDOW_BANDWIDTHS[window]
+
+
+def cqt_frequencies(n_bins: int, fmin: float, bins_per_octave: int = 12,
+                    tuning: float = 0.0) -> np.ndarray:
+    correction = 2.0 ** (float(tuning) / bins_per_octave)
+    return correction * fmin * 2.0 ** (np.arange(n_bins, dtype=float)
+                                       / bins_per_octave)
+
+
+def et_relative_bw(bins_per_octave: int) -> np.ndarray:
+    r = 2 ** (1 / bins_per_octave)
+    return np.atleast_1d((r ** 2 - 1) / (r ** 2 + 1))
+
+
+def relative_bandwidth(freqs: np.ndarray) -> np.ndarray:
+    if len(freqs) <= 1:
+        raise ValueError("2 or more frequencies are required.")
+    bpo = np.empty_like(freqs)
+    logf = np.log2(freqs)
+    bpo[0] = 1 / (logf[1] - logf[0])
+    bpo[-1] = 1 / (logf[-1] - logf[-2])
+    bpo[1:-1] = 2 / (logf[2:] - logf[:-2])
+    return (2.0 ** (2 / bpo) - 1) / (2.0 ** (2 / bpo) + 1)
+
+
+def wavelet_lengths(freqs: np.ndarray, sr: float, window: str = "hann",
+                    filter_scale: float = 1, gamma: float | None = 0,
+                    alpha=None):
+    freqs = np.asarray(freqs)
+    if filter_scale <= 0:
+        raise ValueError("filter_scale must be positive.")
+    if alpha is None:
+        alpha = relative_bandwidth(freqs)
+    else:
+        alpha = np.asarray(alpha)
+    gamma_ = alpha * 24.7 / 0.108 if gamma is None else gamma
+    Q = float(filter_scale) / alpha
+    f_cutoff = float(np.max(freqs * (1 + 0.5 * window_bandwidth(window) / Q)
+                            + 0.5 * gamma_))
+    lengths = Q * sr / (freqs + gamma_ / alpha)
+    return lengths, f_cutoff
+
+
+def _pad_center(x: np.ndarray, size: int) -> np.ndarray:
+    n = len(x)
+    lpad = (size - n) // 2
+    return np.pad(x, (lpad, size - n - lpad))
+
+
+def wavelet(freqs: np.ndarray, sr: float, window: str = "hann",
+            filter_scale: float = 1, pad_fft: bool = True,
+            norm: float | None = 1, gamma: float = 0, alpha=None):
+    lengths, _ = wavelet_lengths(freqs, sr, window, filter_scale, gamma,
+                                 alpha)
+    filters = []
+    for ilen, freq in zip(lengths, freqs):
+        t = np.arange(-ilen // 2, ilen // 2, dtype=float) \
+            * 2 * np.pi * freq / sr
+        sig = np.cos(t) + 1j * np.sin(t)
+        sig = sig * get_window(window, len(sig))
+        if norm is not None:
+            mag = np.sum(np.abs(sig) ** norm) ** (1.0 / norm)
+            sig = sig / max(mag, np.finfo(np.float64).tiny)
+        filters.append(sig)
+    max_len = max(lengths)
+    if pad_fft:
+        max_len = int(2.0 ** np.ceil(np.log2(max_len)))
+    else:
+        max_len = int(np.ceil(max_len))
+    basis = np.asarray([_pad_center(f, max_len) for f in filters],
+                       dtype=np.complex128)
+    return basis, lengths
+
+
+def vqt_filter_fft(sr: float, freqs: np.ndarray, filter_scale: float,
+                   norm: float | None, sparsity: float,
+                   hop_length: int | None = None, window: str = "hann",
+                   gamma: float = 0, alpha=None):
+    """FFT-domain basis (n_filters, n_fft//2+1), kept dense."""
+    basis, lengths = wavelet(freqs, sr, window, filter_scale, True, norm,
+                             gamma, alpha)
+    n_fft = basis.shape[1]
+    if (hop_length is not None
+            and n_fft < 2.0 ** (1 + np.ceil(np.log2(hop_length)))):
+        n_fft = int(2.0 ** (1 + np.ceil(np.log2(hop_length))))
+    basis = basis * (lengths[:, None] / float(n_fft))
+    fft_basis = np.fft.fft(basis, n=n_fft, axis=1)[:, : n_fft // 2 + 1]
+    # match the reference's complex64 basis storage (cqt.py:221 stores the
+    # torch default-dtype cast of a complex64 sparse matrix)
+    fft_basis = fft_basis.astype(np.complex64).astype(np.complex128)
+    return fft_basis, n_fft, lengths
+
+
+def num_two_factors(x: int) -> int:
+    if x <= 0:
+        return 0
+    n = 0
+    while x % 2 == 0:
+        n += 1
+        x //= 2
+    return n
+
+
+def early_downsample_count(nyquist: float, filter_cutoff: float,
+                           hop_length: int, n_octaves: int) -> int:
+    c1 = max(0, int(np.ceil(np.log2(nyquist / filter_cutoff)) - 1) - 1)
+    c2 = max(0, num_two_factors(hop_length) - n_octaves + 1)
+    return min(c1, c2)

@@ -152,3 +152,30 @@ CQT = ConstantQTransform
 ICQT = InverseConstantQTransform
 PQMF = PseudoQuadratureMirrorFilterBankAnalysis
 IPQMF = PseudoQuadratureMirrorFilterBankSynthesis
+
+from .ops import (
+    AutocorrelationToCompositeSinusoidalModelCoefficients,
+    CompositeSinusoidalModelCoefficientsToAutocorrelation,
+    Decimation,
+    Delay,
+    Delta,
+    DynamicRangeCompression,
+    DynamicTimeWarping,
+    Entropy,
+    Flux,
+    GroupDelay,
+    Histogram,
+    Interpolation,
+    MagicNumberInterpolation,
+    MaximumLikelihoodParameterGeneration,
+    MedianFilter,
+    Phase,
+    RootMeanSquareError,
+    SignalToNoiseRatio,
+    Yingram,
+    ZeroCrossingAnalysis,
+)
+
+DRC = DynamicRangeCompression
+DTW = DynamicTimeWarping
+MLPG = MaximumLikelihoodParameterGeneration

@@ -122,3 +122,26 @@ from .pqmf import (
     PseudoQuadratureMirrorFilterBankAnalysis,
     PseudoQuadratureMirrorFilterBankSynthesis,
 )
+from .csm import (
+    AutocorrelationToCompositeSinusoidalModelCoefficients,
+    CompositeSinusoidalModelCoefficientsToAutocorrelation,
+)
+from .delta import Delta, MaximumLikelihoodParameterGeneration
+from .drc import DynamicRangeCompression
+from .dtw import DynamicTimeWarping
+from .misc import (
+    Decimation,
+    Delay,
+    Entropy,
+    Flux,
+    GroupDelay,
+    Histogram,
+    Interpolation,
+    MagicNumberInterpolation,
+    MedianFilter,
+    Phase,
+    RootMeanSquareError,
+    SignalToNoiseRatio,
+    Yingram,
+    ZeroCrossingAnalysis,
+)

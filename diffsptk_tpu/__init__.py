@@ -179,3 +179,21 @@ from .ops import (
 DRC = DynamicRangeCompression
 DTW = DynamicTimeWarping
 MLPG = MaximumLikelihoodParameterGeneration
+
+from .ops import (
+    GaussianMixtureModeling,
+    IndependentComponentAnalysis,
+    InverseMultiStageVectorQuantization,
+    InverseVectorQuantization,
+    LindeBuzoGrayAlgorithm,
+    MultiStageVectorQuantization,
+    NonnegativeMatrixFactorization,
+    PrincipalComponentAnalysis,
+    VectorQuantization,
+)
+
+GMM = GaussianMixtureModeling
+LBG = LindeBuzoGrayAlgorithm
+PCA = PrincipalComponentAnalysis
+ICA = IndependentComponentAnalysis
+NMF = NonnegativeMatrixFactorization

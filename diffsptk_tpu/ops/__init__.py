@@ -145,3 +145,16 @@ from .misc import (
     Yingram,
     ZeroCrossingAnalysis,
 )
+from .learners import (
+    GaussianMixtureModeling,
+    IndependentComponentAnalysis,
+    LindeBuzoGrayAlgorithm,
+    NonnegativeMatrixFactorization,
+    PrincipalComponentAnalysis,
+)
+from .vq import (
+    InverseMultiStageVectorQuantization,
+    InverseVectorQuantization,
+    MultiStageVectorQuantization,
+    VectorQuantization,
+)

@@ -155,6 +155,7 @@ IPQMF = PseudoQuadratureMirrorFilterBankSynthesis
 
 from .ops import (
     AutocorrelationToCompositeSinusoidalModelCoefficients,
+    F0Evaluation,
     CompositeSinusoidalModelCoefficientsToAutocorrelation,
     Decimation,
     Delay,

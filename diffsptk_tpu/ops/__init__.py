@@ -131,6 +131,7 @@ from .drc import DynamicRangeCompression
 from .dtw import DynamicTimeWarping
 from .misc import (
     Decimation,
+    F0Evaluation,
     Delay,
     Entropy,
     Flux,

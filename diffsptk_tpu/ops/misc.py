@@ -661,3 +661,73 @@ class MagicNumberInterpolation(BaseOp):
         elif d == 2:
             out = out[0]
         return out
+
+
+class F0Evaluation(BaseOp):
+    """F0 RMSE (Hz/cent/semitone) over co-voiced frames and V/UV error
+    metrics (reference: diffsptk/modules/f0eval.py).  The reference's
+    boolean-masked gather becomes a masked mean (static shapes)."""
+
+    _input_names = ("x", "y")
+
+    def __init__(self, reduction: str = "mean",
+                 out_format: str = "f0-rmse-cent") -> None:
+        self._setup(self._design(**filter_values(locals())))
+
+    @staticmethod
+    def _check() -> None:
+        pass
+
+    @staticmethod
+    def _design(reduction: str = "mean",
+                out_format: str = "f0-rmse-cent") -> Design:
+        return Design(values={"reduction": reduction,
+                              "out_format": out_format})
+
+    @staticmethod
+    def _forward(x: jnp.ndarray, y: jnp.ndarray, *, reduction: str,
+                 out_format: str) -> jnp.ndarray:
+        UNVOICED = 0
+        if out_format.startswith("f0-rmse"):
+            voiced = (x != UNVOICED) & (y != UNVOICED)
+            if out_format == "f0-rmse-hz":
+                convert = lambda v: v
+            elif out_format == "f0-rmse-cent":
+                convert = lambda v: 1200 * jnp.log2(jnp.where(v > 0, v, 1.0))
+            elif out_format == "f0-rmse-semitone":
+                convert = lambda v: 12 * jnp.log2(jnp.where(v > 0, v, 1.0))
+            else:
+                raise ValueError(
+                    f"out_format {out_format} is not supported.")
+            se = jnp.square(convert(x) - convert(y)) * voiced
+            count = jnp.maximum(jnp.sum(voiced), 1)
+            out = jnp.sqrt(jnp.sum(se) / count)
+        else:
+            TP = jnp.sum((x != UNVOICED) & (y != UNVOICED), axis=-1)
+            FP = jnp.sum((x != UNVOICED) & (y == UNVOICED), axis=-1)
+            FN = jnp.sum((x == UNVOICED) & (y != UNVOICED), axis=-1)
+            TN = jnp.sum((x == UNVOICED) & (y == UNVOICED), axis=-1)
+            FPFN = FP + FN
+            if out_format == "vuv-error-rate":
+                out = FPFN / x.shape[-1]
+            elif out_format == "vuv-error-percent":
+                out = 100 * FPFN / x.shape[-1]
+            elif out_format == "vuv-macro-f1-score":
+                f1p = jnp.nan_to_num((2 * TP) / (2 * TP + FPFN))
+                f1n = jnp.nan_to_num((2 * TN) / (2 * TN + FPFN))
+                out = (f1p + f1n) / 2
+            else:
+                raise ValueError(
+                    f"out_format {out_format} is not supported.")
+        if reduction == "none":
+            pass
+        elif reduction == "sum":
+            out = jnp.sum(out)
+        elif reduction == "mean":
+            out = jnp.mean(out)
+        else:
+            raise ValueError(f"reduction {reduction} is not supported.")
+        return out
+
+    def __call__(self, x, y):
+        return self.apply(self.params, x, y)

@@ -173,3 +173,14 @@ def test_drc():
     y = np.asarray(drc(x))
     var = np.var(y)
     assert abs(var - 0.5651) < 0.02, var
+
+
+def test_f0eval():
+    x = np.array([100.0, 0.0, 120.0, 130.0, 0.0, 140.0])
+    y = np.array([101.0, 0.0, 0.0, 128.0, 110.0, 142.0])
+    for fmt in ["f0-rmse-hz", "f0-rmse-cent", "f0-rmse-semitone",
+                "vuv-error-rate", "vuv-error-percent",
+                "vuv-macro-f1-score"]:
+        ours = diffsptk_tpu.F0Evaluation(out_format=fmt)
+        ref = reference.F0Evaluation(out_format=fmt)
+        U.check_parity(lambda a, b: ours(a, b), lambda a, b: ref(a, b), x, y)

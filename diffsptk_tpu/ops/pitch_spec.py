@@ -3,8 +3,8 @@
 
 F0-adaptive Hann window -> power spectrum -> DC correction -> linear
 smoothing -> liftering with compensation.  Gradients flow through the
-waveform but not F0 (stop_gradient), matching the reference.  STRAIGHT is
-planned (reference supports it double-only via pylstraight design code).
+waveform but not F0 (stop_gradient), matching the reference.  STRAIGHT
+lives in straight.py (reference: pitch_spec.py:324-572).
 """
 
 from __future__ import annotations
@@ -108,9 +108,9 @@ class PitchAdaptiveSpectralAnalysis(BaseNonFunctionalOp):
             self.extractor = SpectrumExtractionByCheapTrick(
                 frame_period, sample_rate, fft_length, **kwargs)
         elif algorithm == "straight":
-            raise NotImplementedError(
-                "STRAIGHT envelope extraction is not implemented yet; "
-                "use algorithm='cheap-trick'.")
+            from .straight import SpectrumExtractionBySTRAIGHT
+            self.extractor = SpectrumExtractionBySTRAIGHT(
+                frame_period, sample_rate, fft_length, **kwargs)
         else:
             raise ValueError(f"algorithm {algorithm} is not supported.")
 

@@ -129,3 +129,40 @@ def test_world_chain_roundtrip(data_wav):
                            fft_length=512)).sum(-1)
     r = np.corrcoef(np.log(ex + 1e-8), np.log(ey + 1e-8))[0, 1]
     assert r > 0.8, r
+
+
+def test_straight_envelope(data_wav):
+    """STRAIGHT envelope: shape/finiteness + agreement with CheapTrick
+    (no pylstraight in this image; the reference itself only checks
+    rtol=1e-1 against it — tests/test_pitch_spec.py:62-96)."""
+    import jax
+
+    x = np.asarray(data_wav)
+    L = 2048
+    n_frames = len(x) // FP
+    voiced = np.zeros(n_frames, bool)
+    voiced[40:180] = True
+    f0 = _f0_track(n_frames, 120.0, voiced)
+
+    straight = diffsptk_tpu.PitchAdaptiveSpectralAnalysis(
+        FP, SR, L, algorithm="straight", out_format="db")
+    sp = np.asarray(straight(U.to_jax(x), U.to_jax(f0)))
+    assert sp.shape == (n_frames, L // 2 + 1)
+    assert np.isfinite(sp).all()
+
+    cheap = diffsptk_tpu.PitchAdaptiveSpectralAnalysis(
+        FP, SR, L, algorithm="cheap-trick", out_format="db")
+    spc = np.asarray(cheap(U.to_jax(x), U.to_jax(f0)))
+    a = sp[voiced].ravel()
+    b = spc[voiced].ravel()
+    r = np.corrcoef(a, b)[0, 1]
+    assert r > 0.97, r
+    assert abs(a.mean() - b.mean()) < 3.0  # dB level agreement
+
+    # Gradients flow through the waveform, not through F0.
+    g = jax.grad(lambda xx: jnp.sum(straight(xx, U.to_jax(f0))))(U.to_jax(x))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+    gf = jax.grad(lambda ff: jnp.sum(straight(U.to_jax(x), ff)))(
+        U.to_jax(f0 + 0.1))
+    assert float(jnp.abs(gf).max()) == 0

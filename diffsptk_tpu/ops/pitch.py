@@ -7,12 +7,14 @@ The reference wraps the pretrained torchcrepe/penn CNNs.  This build ships:
   dip picking with parabolic refinement.  Fully jittable, no pretrained
   weights needed (weights for the neural trackers cannot be downloaded in
   a hermetic build).
-* ``algorithm in ('crepe', 'fcnf0')``: raises with guidance until
-  checkpoint conversion is wired (planned; the reference's behavior depends
-  on released third-party weights).
+* ``algorithm in ('crepe', 'fcnf0')``: native JAX implementations of the
+  CREPE and FCNF0++ networks (see pitch_nn.py) — pass ``weights=`` to load
+  a converted pretrained checkpoint; without weights they run with a
+  deterministic random initialization (this hermetic image cannot fetch
+  the released checkpoints) and warn.
 
 Output formats match the reference: pitch (period in samples), f0, log-f0
-(unvoiced -> -1e10), prob.
+(unvoiced -> -1e10), prob, embed (crepe only).
 """
 
 from __future__ import annotations
@@ -89,6 +91,10 @@ class PitchExtractionByYIN:
         d = yin_difference(frames, self.window_length, self.tau_max)
         return yin_cmnd(d)
 
+    def calc_embed(self, x: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError(
+            "out_format 'embed' requires algorithm='crepe'.")
+
     def calc_pitch(self, x: jnp.ndarray) -> jnp.ndarray:
         """Returns f0 in Hz with 0 at unvoiced frames."""
         cm = self.calc_prob(x)                           # (..., N, tau_max)
@@ -143,11 +149,14 @@ class Pitch(BaseNonFunctionalOp):
         if algorithm == "yin":
             self.extractor = PitchExtractionByYIN(frame_period, sample_rate,
                                                   **kwargs)
-        elif algorithm in ("crepe", "fcnf0"):
-            raise NotImplementedError(
-                f"algorithm '{algorithm}' requires pretrained third-party "
-                "weights that cannot be fetched in this build; use "
-                "algorithm='yin'.")
+        elif algorithm == "crepe":
+            from .pitch_nn import PitchExtractionByCREPE
+            self.extractor = PitchExtractionByCREPE(frame_period,
+                                                    sample_rate, **kwargs)
+        elif algorithm == "fcnf0":
+            from .pitch_nn import PitchExtractionByFCNF0
+            self.extractor = PitchExtractionByFCNF0(frame_period,
+                                                    sample_rate, **kwargs)
         else:
             raise ValueError(f"algorithm {algorithm} is not supported.")
 
@@ -165,6 +174,8 @@ class Pitch(BaseNonFunctionalOp):
             self.convert = lambda x: calc_pitch(x, jnp.log, -1.0e10)
         elif out_format == "prob":
             self.convert = lambda x: self.extractor.calc_prob(x)
+        elif out_format == "embed":
+            self.convert = lambda x: self.extractor.calc_embed(x)
         else:
             raise ValueError(f"out_format {out_format} is not supported.")
 

@@ -39,8 +39,9 @@ def main() -> None:
     import diffsptk_tpu as dsp
 
     x, sr = _load_audio()
-    # Batch the 1.2 s clip to fill the chip.
-    B = 64
+    # Batch the 1.2 s clip to fill the chip (B=32 is the measured
+    # throughput peak for the mcep chain on v5e).
+    B = 32
     xb = jnp.tile(x[None, :], (B, 1))
     n_samples = xb.size
 

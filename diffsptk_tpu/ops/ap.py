@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import BaseNonFunctionalOp, to_device_array
+from ..utils.linalg import spd_solve
 from .spec import Spectrum
 from .window import design_window
 from .world_common import (
@@ -179,7 +180,7 @@ class AperiodicityExtractionByTANDEM:
             X = gather(idx_gamma)[..., None]                    # (B, N, J, 1)
 
             b = Hw @ X                                          # (B, N, 6, 1)
-            a = jnp.linalg.solve(R + self.eye, b)
+            a = spd_solve(R + self.eye, b[..., 0])[..., None]
             Ha = H @ a                                          # (B, N, J, 1)
 
             wsqrt = self.window_sqrt[i, :J]

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import BaseOp, Design, check_size, default_dtype, filter_values
-from ..utils.linalg import remove_gain, symmetric_toeplitz
+from ..utils.linalg import remove_gain, spd_solve, symmetric_toeplitz
 
 
 class LevinsonDurbin(BaseOp):
@@ -48,7 +48,8 @@ class LevinsonDurbin(BaseOp):
     def _forward(r: jnp.ndarray, *, eye: jnp.ndarray) -> jnp.ndarray:
         r0, r1 = r[..., :1], r[..., 1:]
         R = symmetric_toeplitz(r[..., :-1]) + eye
-        a = jnp.linalg.solve(R, -r1[..., None])[..., 0]
+        # autocorrelation matrix is SPD: batched masked Cholesky
+        a = spd_solve(R, -r1)
         K = jnp.sqrt(jnp.sum(r1 * a, axis=-1, keepdims=True) + r0)
         return jnp.concatenate((K, a), axis=-1)
 

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import BaseNonFunctionalOp, check_size, to_device_array
-from ..utils.linalg import hankel, symmetric_toeplitz
+from ..utils.linalg import hankel, spd_solve, symmetric_toeplitz
 from .gnorm import (
     GeneralizedCepstrumGainNormalization,
     GeneralizedCepstrumInverseGainNormalization,
@@ -167,7 +167,7 @@ class MelGeneralizedCepstralAnalysis(BaseNonFunctionalOp):
 
             R = symmetric_toeplitz(pt)
             Q = hankel(qt)
-            gradient = jnp.linalg.solve(R + Q, rt[..., None])[..., 0]
+            gradient = spd_solve(R + Q, rt)
             b1 = b1 + gradient
 
             if gamma == -1:

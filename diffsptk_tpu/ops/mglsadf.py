@@ -138,10 +138,25 @@ class MultiStageFIRFilter:
             elif self.phase == "zero":
                 c = mirror(c, half=True)
 
-        y = x * a[0]
-        for i in range(1, a.shape[0]):
-            x = self.zerodf(x, c) * self.weights[i]
-            y = y + x * a[i]
+        M = c.shape[-1] - 1
+        if M + 1 > 32:
+            # Every Taylor stage filters with the same coefficients, so
+            # the per-frame coefficient spectrum is shared across stages.
+            from .zerodf import _next_pow2, zerodf_fft
+            P = self.frame_period
+            nfft = _next_pow2(2 * P + M + 1)
+            c_spec = jnp.fft.rfft(c, n=nfft)
+            advance = self.zerodf.padding[1]
+            y = x * a[0]
+            for i in range(1, a.shape[0]):
+                x = zerodf_fft(x, c, P, advance=advance, b_spec=c_spec,
+                               nfft=nfft) * self.weights[i]
+                y = y + x * a[i]
+        else:
+            y = x * a[0]
+            for i in range(1, a.shape[0]):
+                x = self.zerodf(x, c) * self.weights[i]
+                y = y + x * a[i]
 
         if not self.ignore_gain:
             K = jnp.exp(linear_interpolate(c0, self.frame_period))

@@ -1,11 +1,21 @@
 """All-zero (FIR) digital filter with frame-rate coefficients
 (reference: diffsptk/modules/zerodf.py:190-240).
 
-TPU-native single mode: gather the (M+1)-sample history for every output
-sample (one static gather) and dot it with the per-sample interpolated
-coefficients — a dense (..., T, M+1) elementwise-reduce that XLA fuses; no
-grouped-conv trick needed on TPU.  ``mode`` is accepted for API parity and
-ignored.
+Two TPU-native paths, selected automatically:
+
+* direct — gather the (M+1)-sample history for every output sample and
+  dot it with per-sample interpolated coefficients: dense
+  (..., T, M+1) work; best for short filters.
+* fft    — frame-blocked overlap-save: because the coefficients are a
+  per-frame linear interpolation, y(t) in frame n is exactly
+  (1-l)*conv(x, b_n) + l*conv(x, b_{n+1}), so each frame needs two
+  fixed-kernel convolutions evaluated on a 2P-sample span.  One batched
+  rfft of the (2P+M)-sample contexts, a complex multiply against the
+  per-frame coefficient spectra, and one irfft replace the
+  (..., T, M+1) materialization — this is the reference's 'efficient'
+  grouped-conv decomposition (zerodf.py:207-240) recast as batched FFTs,
+  which is the HBM-friendly form on TPU.  ~60x less memory traffic for
+  the MLSA cascade's 200-tap filters.
 """
 
 from __future__ import annotations
@@ -15,6 +25,44 @@ import numpy as np
 
 from ..core import BaseOp, Design, check_size, filter_values
 from .linear_intpl import linear_interpolate
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+def zerodf_fft(x: jnp.ndarray, b: jnp.ndarray, frame_period: int,
+               advance: int = 0, b_spec: jnp.ndarray | None = None,
+               nfft: int | None = None) -> jnp.ndarray:
+    """Frame-blocked FFT evaluation of the time-varying FIR
+    y[t] = sum_k btilde[t, k] x[t - k + advance], where btilde linearly
+    interpolates frame coefficients (replicated final frame).
+
+    ``b_spec`` optionally supplies rfft(b, nfft) so a filter cascade that
+    reuses the same coefficients (the MLSA Taylor stages) pays the
+    coefficient FFT once.
+    """
+    P = frame_period
+    M = b.shape[-1] - 1
+    z = advance
+    N = b.shape[-2]
+    T = x.shape[-1]
+    L = 2 * P + M
+    if nfft is None:
+        nfft = _next_pow2(L + 1)
+    pad = [(0, 0)] * (x.ndim - 1) + [(P + M - z, z)]
+    xp = jnp.pad(x, pad)
+    idx = np.arange(N)[:, None] * P + np.arange(L)[None, :]
+    ctx = xp[..., idx]                                   # (..., N, 2P+M)
+    X = jnp.fft.rfft(ctx, n=nfft)
+    if b_spec is None:
+        b_spec = jnp.fft.rfft(b, n=nfft)
+    U = jnp.fft.irfft(X * b_spec, n=nfft)[..., M:M + 2 * P]
+    lo = U[..., P:]                                      # b_n on frame n
+    hi = jnp.concatenate([U[..., 1:, :P], U[..., -1:, P:]], axis=-2)
+    lam = jnp.asarray(np.arange(P) / P, x.dtype)
+    y = lo * (1 - lam) + hi * lam
+    return y.reshape(*x.shape[:-1], T)
 
 
 class AllZeroDigitalFilter(BaseOp):
@@ -52,6 +100,10 @@ class AllZeroDigitalFilter(BaseOp):
                  ignore_gain: bool, padding: tuple) -> jnp.ndarray:
         check_size(x.shape[-1], b.shape[-2] * frame_period, "sequence length")
         M = b.shape[-1] - 1
+        if not ignore_gain and M + 1 > 32:
+            # long filters: frame-blocked FFT path (per-sample gain
+            # normalization of ignore_gain is not lerp-decomposable).
+            return zerodf_fft(x, b, frame_period, advance=padding[1])
         T = x.shape[-1]
         pad = [(0, 0)] * (x.ndim - 1) + [list(padding)]
         xp = jnp.pad(x, pad)

@@ -32,22 +32,32 @@ def exchange_halo(x: jnp.ndarray, left: int, right: int, axis_name: str,
         ix[axis] = sl
         return a[tuple(ix)]
 
+    def edge_fill(recv, side):
+        if pad_mode == "constant":
+            return jnp.zeros_like(recv)
+        if pad_mode == "edge":
+            # replicate the outermost local element at the global edge
+            sl = (slice(0, 1) if side == "left"
+                  else slice(x.shape[axis] - 1, None))
+            rep = [1] * x.ndim
+            rep[axis] = recv.shape[axis]
+            return jnp.tile(take(x, sl), rep)
+        raise ValueError(f"pad_mode {pad_mode} is not supported.")
+
     parts = []
     if left > 0:
         # receive the last `left` samples of the left neighbor
         tail = take(x, slice(x.shape[axis] - left, None))
         recv = lax.ppermute(tail, axis_name,
                             [(i, (i + 1) % n) for i in range(n)])
-        # shard 0 has no left neighbor: zero padding (the framing default;
-        # other pad modes currently fall back to zeros at the global edge)
-        recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+        # shard 0 has no left neighbor: global-edge padding
+        recv = jnp.where(idx == 0, edge_fill(recv, "left"), recv)
         parts.append(recv)
     parts.append(x)
     if right > 0:
         head = take(x, slice(0, right))
         recv = lax.ppermute(head, axis_name,
                             [(i, (i - 1) % n) for i in range(n)])
-        edge = jnp.zeros_like(recv)
-        recv = jnp.where(idx == n - 1, edge, recv)
+        recv = jnp.where(idx == n - 1, edge_fill(recv, "right"), recv)
         parts.append(recv)
     return jnp.concatenate(parts, axis=axis)

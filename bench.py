@@ -26,12 +26,17 @@ def _load_audio():
 
 
 def _timeit(fn, *args, warmup=3, iters=20):
+    """Wall-clock per call.  The final sync is a scalar host readback:
+    on the remote-tunnel TPU platform block_until_ready returns before
+    execution completes, so a device->host transfer is the only reliable
+    barrier (its ~30 ms RTT is amortized over the iterations)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        float(jnp.sum(fn(*args)))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))
     return (time.perf_counter() - t0) / iters
 
 

@@ -7,10 +7,11 @@ lfilter at utils/private.py:328; SURVEY.md §2.9):
 * ``first_order_recurrence`` — y[t] = p[t] y[t-1] + x[t] as a log-depth
   ``lax.associative_scan``: fully parallel on TPU, exact, real or complex.
   Serves the MLSA Padé mode's complex one-pole sections and DRC smoothing.
-* ``sample_wise_lpc`` — time-varying order-M all-pole recurrence.  Order-M
-  state carried through ``lax.scan`` (batch-parallel on the VPU); this is
-  the exact path.  A chunked overlap-warmup variant for block parallelism
-  lives in ``chunked_sample_wise_lpc``.
+* ``sample_wise_lpc`` — time-varying order-M all-pole recurrence.  For
+  long sequences it dispatches to ``blocked_sample_wise_lpc``, the EXACT
+  block-parallel superposition form (serial depth block+n_blocks instead
+  of T); short sequences use the plain ``lax.scan``.  A warmup-based
+  approximate variant lives in ``chunked_sample_wise_lpc``.
 * ``lfilter`` — static-coefficient IIR (direct form I), built from an FIR
   convolution plus the all-pole scan.
 """
@@ -41,12 +42,19 @@ def first_order_recurrence(x: jnp.ndarray, p: jnp.ndarray,
 
 
 def sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,
-                    zi: jnp.ndarray | None = None) -> jnp.ndarray:
+                    zi: jnp.ndarray | None = None,
+                    block: int | None = 256) -> jnp.ndarray:
     """Time-varying all-pole filter: y[t] = x[t] - sum_k a[t,k] y[t-k].
 
     x: (..., T); a: (..., T, M); zi: optional (..., M) initial history
     ordered [y[-1], y[-2], ...].  Interface-compatible with
     torchlpc.sample_wise_lpc (the reference's external kernel).
+
+    For long sequences this runs the EXACT block-parallel form (see
+    ``blocked_sample_wise_lpc``): the per-sample lax.scan serializes T
+    steps, which dominates wall-clock on TPU; blocking cuts the serial
+    depth to the block length.  Pass ``block=None`` to force the plain
+    scan.
     """
     M = a.shape[-1]
     if M == 1:
@@ -54,7 +62,14 @@ def sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,
             x if zi is None else x.at[..., 0].add(-a[..., 0, 0] * zi[..., 0]),
             -a[..., 0])
         return y
+    T = x.shape[-1]
+    if block is not None and T >= 4 * block and block >= 2 * M:
+        return blocked_sample_wise_lpc(x, a, zi=zi, block=block)
+    return _scan_sample_wise_lpc(x, a, zi)
 
+
+def _scan_sample_wise_lpc(x, a, zi=None):
+    M = a.shape[-1]
     xt = jnp.moveaxis(x, -1, 0)              # (T, ...)
     at = jnp.moveaxis(a, -2, 0)              # (T, ..., M)
     hist = (jnp.zeros(x.shape[:-1] + (M,), x.dtype) if zi is None
@@ -68,6 +83,80 @@ def sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,
 
     _, y = jax.lax.scan(step, hist, (xt, at))
     return jnp.moveaxis(y, 0, -1)
+
+
+def blocked_sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,
+                            zi: jnp.ndarray | None = None,
+                            block: int = 256) -> jnp.ndarray:
+    """EXACT block-parallel time-varying all-pole filter.
+
+    Linearity lets each block's output be superposed from M+1 responses
+    computed with all blocks in parallel (batch axis): the zero-state
+    response to the block's input plus the M homogeneous responses to
+    unit initial histories.  The true initial history of each block then
+    follows from a short sequential recursion of (M x M) transition
+    matrices across blocks (n_blocks steps instead of T).  Serial depth
+    drops from T to block + n_blocks with an (M+1)x flop multiplier —
+    the right trade on TPU, where the per-sample scan is dispatch-bound.
+    """
+    T = x.shape[-1]
+    M = a.shape[-1]
+    C = block
+    pad = (-T) % C
+    if pad:
+        xpad = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+        x = jnp.pad(x, xpad)
+        a = jnp.pad(a, xpad + [(0, 0)])
+    n = x.shape[-1] // C
+    batch = x.shape[:-1]
+
+    xs = x.reshape(*batch, n, C)
+    as_ = a.reshape(*batch, n, C, M)
+
+    # Augmented systems per block: index 0 driven by x with zero history;
+    # systems 1..M homogeneous with history e_{j-1}.
+    eye = jnp.eye(M, dtype=x.dtype)
+    hist0 = jnp.zeros((*batch, n, M + 1, M), x.dtype)
+    hist0 = hist0.at[..., 1:, :].set(eye)
+
+    xt = jnp.moveaxis(xs, -1, 0)                     # (C, ..., n)
+    at = jnp.moveaxis(as_, -2, 0)                    # (C, ..., n, M)
+
+    def step(hist, inp):
+        xc, ac = inp
+        yt = -jnp.einsum("...m,...km->...k", ac, hist)
+        yt = yt.at[..., 0].add(xc)
+        hist = jnp.concatenate([yt[..., None], hist[..., :-1]], axis=-1)
+        return hist, yt
+
+    _, ys = jax.lax.scan(step, hist0, (xt, at))      # (C, ..., n, M+1)
+    ys = jnp.moveaxis(ys, 0, -2)                     # (..., n, C, M+1)
+    y0 = ys[..., 0]                                  # zero-state (..., n, C)
+    H = ys[..., 1:]                                  # homogeneous (...,n,C,M)
+
+    # Block end-state (history entering the next block):
+    # s_end[i] = y[C-1-i]  =>  s_end = g + G s_start.
+    tail = jnp.flip(ys[..., C - M:, :], axis=-2)     # (..., n, M, M+1)
+    g = tail[..., 0]                                 # (..., n, M)
+    G = tail[..., 1:]                                # (..., n, M, M)
+
+    s0 = (jnp.zeros((*batch, M), x.dtype) if zi is None
+          else zi.astype(x.dtype))
+
+    gt = jnp.moveaxis(g, -2, 0)                      # (n, ..., M)
+    Gt = jnp.moveaxis(G, -3, 0)                      # (n, ..., M, M)
+
+    def chain(s, inp):
+        gk, Gk = inp
+        s_next = gk + jnp.einsum("...ij,...j->...i", Gk, s)
+        return s_next, s                             # emit incoming state
+
+    _, s_in = jax.lax.scan(chain, s0, (gt, Gt))      # (n, ..., M)
+    s_in = jnp.moveaxis(s_in, 0, -2)                 # (..., n, M)
+
+    y = y0 + jnp.einsum("...cm,...m->...c", H, s_in)
+    y = y.reshape(*batch, n * C)
+    return y[..., :T] if pad else y
 
 
 def chunked_sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,

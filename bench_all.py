@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Measure all BASELINE.md configs on the available hardware and print a
+markdown table (single real chip; multi-chip correctness is validated on
+the virtual CPU mesh by tests/test_parallel.py and __graft_entry__).
+
+Usage: python bench_all.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, warmup=2, iters=10):
+    for _ in range(warmup):
+        float(jnp.sum(fn(*args)))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    float(jnp.sum(out))
+    return (time.perf_counter() - t0) / iters
+
+
+def snr_db(ref, est):
+    ref = np.asarray(ref, np.float64).ravel()
+    est = np.asarray(est, np.float64).ravel()
+    n = min(len(ref), len(est))
+    ref, est = ref[:n], est[:n]
+    return 10 * np.log10(np.sum(ref**2) / (np.sum((ref - est) ** 2) + 1e-30))
+
+
+def main() -> None:
+    import diffsptk_tpu as dsp
+
+    x, sr = dsp.read("/root/reference/assets/data.wav")
+    rows = []
+
+    # 1. STFT spectrogram -------------------------------------------------
+    B = 64
+    xb = jnp.tile(x[None, :], (B, 1))
+    stft = jax.jit(dsp.STFT(400, 80, 512))
+    dt = timeit(stft, xb)
+    rows.append(("1. STFT spectrogram (400/80/512)", xb.size / dt, None))
+
+    # 2. LPC analysis-synthesis -------------------------------------------
+    B = 32
+    xb = jnp.tile(x[None, :], (B, 1))
+    M, P, L = 24, 80, 400
+    frame, window = dsp.Frame(L, P), dsp.Window(L)
+    lpc = dsp.LPC(L, M)
+    zerodf, poledf = (dsp.AllZeroDigitalFilter(M, P),
+                      dsp.AllPoleDigitalFilter(M, P))
+
+    def lpc_roundtrip(xw):
+        a = lpc(window(frame(xw)))
+        T = a.shape[-2] * P
+        e = zerodf(xw[..., :T], a)
+        return poledf(e, a)
+
+    f = jax.jit(lpc_roundtrip)
+    dt = timeit(f, xb)
+    y = f(xb)
+    rows.append(("2. LPC analysis-synthesis (M=24)", xb.size / dt,
+                 snr_db(xb[..., :y.shape[-1]], y)))
+
+    # 3. mel-cepstral round trip (headline) --------------------------------
+    from diffsptk_tpu.models.mcep_vocoder import MelCepstralVocoder
+    voc = MelCepstralVocoder(frame_length=400, frame_period=80,
+                             fft_length=512, cep_order=24, alpha=0.42,
+                             n_iter=10)
+    f = jax.jit(voc.analysis_synthesis)
+    dt = timeit(f, xb)
+    y = f(xb)
+    rows.append(("3. STFT->mcep->MLSA round trip", xb.size / dt,
+                 snr_db(xb[..., :y.shape[-1]], y)))
+
+    # 4. WORLD chain --------------------------------------------------------
+    B = 8
+    xb = jnp.tile(x[None, :], (B, 1))
+    P, Lw = 80, 1024
+    pitch = dsp.Pitch(P, sr, algorithm="yin", out_format="f0",
+                      f_min=80, f_max=180)
+    ap = dsp.Aperiodicity(P, sr, Lw, algorithm="tandem")
+    ps = dsp.PitchAdaptiveSpectralAnalysis(P, sr, Lw)
+    ws = dsp.WorldSynthesis(P, sr, Lw)
+
+    def world_chain(xw):
+        f0 = pitch(xw)
+        apw = ap(xw, f0)
+        sp = ps(xw, f0)
+        return ws(f0, apw, sp)
+
+    f = jax.jit(world_chain)
+    dt = timeit(f, xb, iters=5)
+    y = f(xb)
+    r = np.corrcoef(np.asarray(xb[0, :y.shape[-1]], np.float64),
+                    np.asarray(y[0, :xb.shape[-1]], np.float64)
+                    [:xb.shape[-1]])[0, 1]
+    rows.append(("4. WORLD analysis-synthesis", xb.size / dt,
+                 ("corr %.3f" % r)))
+
+    # 5. filterbank battery, multi-channel long audio -----------------------
+    C = 8
+    xl = jnp.tile(x[None, :], (C, 4)).reshape(C, -1)      # 4.8 s x 8 ch
+    cqt = dsp.CQT(64, sr, n_bin=24)
+    icqt = dsp.ICQT(64, sr, n_bin=24)
+    mdct = dsp.MDCT(256)
+    imdct = dsp.IMDCT(256)
+    pqmf = dsp.PQMF(4, 47)
+    ipqmf = dsp.IPQMF(4, 47)
+
+    def battery(xw):
+        y1 = icqt(cqt(xw), out_length=xw.shape[-1])
+        y2 = imdct(mdct(xw), out_length=xw.shape[-1])
+        y3 = ipqmf(pqmf(xw))[..., 0, :xw.shape[-1]]
+        return y1 + y2 + y3
+
+    f = jax.jit(battery)
+    dt = timeit(f, xl, iters=5)
+    y2 = jax.jit(lambda xw: imdct(mdct(xw), out_length=xw.shape[-1]))(xl)
+    rows.append(("5. CQT+MDCT+PQMF battery (8ch)", xl.size / dt,
+                 snr_db(xl, y2)))
+
+    print(f"\nHardware: {jax.devices()[0].device_kind} x {jax.device_count()}")
+    print("| Config | samples/s/chip | SNR / parity |")
+    print("|---|---|---|")
+    for name, sps, snr in rows:
+        s = ("-" if snr is None
+             else (snr if isinstance(snr, str) else f"{snr:.1f} dB"))
+        print(f"| {name} | {sps/1e6:.2f} M | {s} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,13 +60,17 @@ def to_device_array(a, dtype=None):
     """Convert a design-time numpy array to a device array.
 
     Complex design arrays map to the complex counterpart of the requested
-    real dtype.
+    real dtype — and stay on the HOST as numpy: they trace into jit
+    graphs as constants with no device round-trip, which matters on
+    remote-tunnel TPU backends where complex device->host transfers are
+    unimplemented (eager jnp ops convert them on the fly).
     """
     a = np.asarray(a)
     if dtype is None:
         dtype = default_dtype()
     if np.iscomplexobj(a):
-        dtype = jnp.result_type(jnp.dtype(dtype), np.complex64)
+        cdtype = jnp.result_type(jnp.dtype(dtype), np.complex64)
+        return np.asarray(a, dtype=cdtype)
     return jnp.asarray(a, dtype=dtype)
 
 

@@ -55,12 +55,13 @@ def main() -> None:
     lpc = dsp.LPC(L, M)
     zerodf, poledf = (dsp.AllZeroDigitalFilter(M, P),
                       dsp.AllPoleDigitalFilter(M, P))
+    norm0 = dsp.AllPoleToAllZeroDigitalFilterCoefficients(M)
 
     def lpc_roundtrip(xw):
         a = lpc(window(frame(xw)))
         T = a.shape[-2] * P
-        e = zerodf(xw[..., :T], a)
-        return poledf(e, a)
+        e = zerodf(xw[..., :T], norm0(a))    # inverse filter A(z)/K
+        return poledf(e, a)                  # resynthesis K/A(z)
 
     f = jax.jit(lpc_roundtrip)
     dt = timeit(f, xb)
@@ -98,11 +99,15 @@ def main() -> None:
     f = jax.jit(world_chain)
     dt = timeit(f, xb, iters=5)
     y = f(xb)
-    r = np.corrcoef(np.asarray(xb[0, :y.shape[-1]], np.float64),
-                    np.asarray(y[0, :xb.shape[-1]], np.float64)
-                    [:xb.shape[-1]])[0, 1]
+    # vocoded output is not sample-aligned with the input; compare
+    # magnitude spectrograms (phase-insensitive), as vocoder evals do.
+    spec = dsp.STFT(400, 80, 512, out_format="db")
+    Sx = np.asarray(spec(xb[0]), np.float64)
+    Sy = np.asarray(spec(y[0, :xb.shape[-1]]), np.float64)
+    n = min(Sx.shape[0], Sy.shape[0])
+    r = np.corrcoef(Sx[:n].ravel(), Sy[:n].ravel())[0, 1]
     rows.append(("4. WORLD analysis-synthesis", xb.size / dt,
-                 ("corr %.3f" % r)))
+                 ("spec-corr %.3f" % r)))
 
     # 5. filterbank battery, multi-channel long audio -----------------------
     C = 8

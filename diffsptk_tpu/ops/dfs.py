@@ -33,9 +33,19 @@ class InfiniteImpulseResponseDigitalFilter(BaseOp):
     """y = (B(z)/A(z)) x with static coefficients."""
 
     def __init__(self, b=None, a=None, ir_length: int | None = None,
-                 dtype=None) -> None:
-        self._setup(self._design(**filter_values(locals(), ("dtype",))),
-                    dtype=dtype)
+                 learnable: bool = False, dtype=None) -> None:
+        self._setup(
+            self._design(**filter_values(locals(), ("learnable", "dtype"))),
+            dtype=dtype)
+        # Trainable coefficients (reference dfs.py:69-76): only the
+        # user-supplied polynomials become parameters.
+        if learnable:
+            learn = []
+            if b is not None and "b" in self.params:
+                learn.append("b")
+            if a is not None and "a" in self.params:
+                learn.append("a")
+            self.learnable = tuple(learn)
 
     @staticmethod
     def _check(ir_length: int | None) -> None:

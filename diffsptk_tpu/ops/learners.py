@@ -115,13 +115,16 @@ class GaussianMixtureModeling(BaseLearnerOp):
                       * self.mask + (1 - self.mask) * 0.0).astype(
                           self.sigma.dtype)
 
-    def _e_step(self, x, reduction: str = "sum", in_order=None):
+    def _e_step(self, x, reduction: str = "sum", in_order=None,
+                params=None):
+        w, mu_full, sigma_full = (params if params is not None
+                                  else (self.w, self.mu, self.sigma))
         if in_order is None:
             L = self.order + 1
-            mu, sigma = self.mu, self.sigma
+            mu, sigma = mu_full, sigma_full
         else:
             L = in_order + 1
-            mu, sigma = self.mu[:, :L], self.sigma[:, :L, :L]
+            mu, sigma = mu_full[:, :L], sigma_full[:, :L, :L]
         log_pi = L * math.log(2 * math.pi)
         if self.is_diag:
             diag = jnp.diagonal(sigma, axis1=-2, axis2=-1)
@@ -137,7 +140,7 @@ class GaussianMixtureModeling(BaseLearnerOp):
             diff = x[:, None, :] - mu[None, :, :]
             right = jnp.einsum("klm,bkm->bkl", precision, diff)
             mahala = jnp.sum(diff * right, axis=-1)
-        numer = jnp.log(self.w) - 0.5 * (log_pi + log_det + mahala)
+        numer = jnp.log(w) - 0.5 * (log_pi + log_det + mahala)
         denom = jax.scipy.special.logsumexp(numer, axis=-1, keepdims=True)
         posterior = jnp.exp(numer - denom)
         if reduction == "none":
@@ -148,79 +151,98 @@ class GaussianMixtureModeling(BaseLearnerOp):
             raise ValueError(f"reduction {reduction} is not supported.")
         return posterior, ll
 
+    def _em_update(self, params, x):
+        """One EM iteration as a pure function of (params, x).
+
+        The batch reductions (responsibilities z, first/second moments
+        px/pxx, log-likelihood) are plain sums over the data axis, so
+        under jit with ``x`` sharded over a mesh batch axis GSPMD
+        compiles them to psums — data-parallel EM with no further code.
+        """
+        w0, mu0, sigma0 = params
+        T = x.shape[0]
+        posterior, ll = self._e_step(x, params=params)
+
+        if self.alpha == 0:
+            z = jnp.sum(posterior, axis=0)
+            w = z / T
+        else:
+            xi = self.ubm_w * self.alpha
+            z = jnp.sum(posterior, axis=0) + xi
+            w = z / (T + self.alpha)
+        zinv = 1.0 / z
+        w = jnp.clip(w, min=self.weight_floor)
+        sum_floor = self.weight_floor * self.n_mixture
+        a = (1 - sum_floor) / (jnp.sum(w) - sum_floor)
+        b = self.weight_floor * (1 - a)
+        w = a * w + b
+
+        px = posterior.T @ x
+        if self.alpha == 0:
+            mu = px * zinv[:, None]
+        else:
+            mu = (px + xi[:, None] * self.ubm_mu) * zinv[:, None]
+
+        if self.is_diag:
+            pxx = posterior.T @ (x * x)
+            mm = mu ** 2
+            if self.alpha == 0:
+                sig = pxx * zinv[:, None] - mm
+            else:
+                y = jnp.sum(posterior, axis=0)
+                nu = px / y[:, None]
+                nm = nu * mu
+                aa = pxx - y[:, None] * (2 * nm - mm)
+                aa = jnp.nan_to_num(aa, nan=0.0, posinf=0.0, neginf=0.0)
+                bb = xi[:, None] * jnp.diagonal(self.ubm_sigma,
+                                                axis1=-2, axis2=-1)
+                cc = xi[:, None] * (self.ubm_mu - mu) ** 2
+                sig = (aa + bb + cc) * zinv[:, None]
+            sig = jnp.clip(sig, min=self.var_floor)
+            sigma = jax.vmap(jnp.diag)(sig)
+        else:
+            pxx = jnp.einsum("bk,bl,bm->klm", posterior, x, x)
+            mm = jnp.einsum("kl,km->klm", mu, mu)
+            if self.alpha == 0:
+                sig = pxx * zinv[:, None, None] - mm
+            else:
+                y = jnp.sum(posterior, axis=0)
+                nu = px / y[:, None]
+                nm = jnp.einsum("kl,km->klm", nu, mu)
+                mn = jnp.swapaxes(nm, -2, -1)
+                aa = pxx - y[:, None, None] * (nm + mn - mm)
+                aa = jnp.nan_to_num(aa, nan=0.0, posinf=0.0, neginf=0.0)
+                bb = xi[:, None, None] * self.ubm_sigma
+                cc = xi[:, None, None] * jnp.einsum(
+                    "kl,km->klm", self.ubm_mu - mu, self.ubm_mu - mu)
+                sig = (aa + bb + cc) * zinv[:, None, None]
+            sig = sig * self.mask
+            d = jnp.clip(jnp.diagonal(sig, axis1=-2, axis2=-1),
+                         min=self.var_floor)
+            L = sig.shape[-1]
+            eye = jnp.eye(L, dtype=bool)
+            sig = jnp.where(eye, d[..., None, :] * jnp.eye(L), sig)
+            sigma = sig
+
+        return (w, mu, sigma), ll
+
     def __call__(self, x, return_posterior: bool = False):
         x = jnp.asarray(x)
-        T = x.shape[0]
+        if not hasattr(self, "_em_jit"):
+            self._em_jit = jax.jit(self._em_update)
+        params = (self.w, self.mu, self.sigma)
         prev_ll = -np.inf
+        ll = jnp.asarray(-np.inf)
         for n in range(self.n_iter):
-            posterior, ll = self._e_step(x)
-
-            if self.alpha == 0:
-                z = jnp.sum(posterior, axis=0)
-                w = z / T
-            else:
-                xi = self.ubm_w * self.alpha
-                z = jnp.sum(posterior, axis=0) + xi
-                w = z / (T + self.alpha)
-            zinv = 1.0 / z
-            w = jnp.clip(w, min=self.weight_floor)
-            sum_floor = self.weight_floor * self.n_mixture
-            a = (1 - sum_floor) / (jnp.sum(w) - sum_floor)
-            b = self.weight_floor * (1 - a)
-            self.w = a * w + b
-
-            px = posterior.T @ x
-            if self.alpha == 0:
-                self.mu = px * zinv[:, None]
-            else:
-                self.mu = (px + xi[:, None] * self.ubm_mu) * zinv[:, None]
-
-            if self.is_diag:
-                pxx = posterior.T @ (x * x)
-                mm = self.mu ** 2
-                if self.alpha == 0:
-                    sig = pxx * zinv[:, None] - mm
-                else:
-                    y = jnp.sum(posterior, axis=0)
-                    nu = px / y[:, None]
-                    nm = nu * self.mu
-                    aa = pxx - y[:, None] * (2 * nm - mm)
-                    aa = jnp.nan_to_num(aa, nan=0.0, posinf=0.0, neginf=0.0)
-                    bb = xi[:, None] * jnp.diagonal(self.ubm_sigma,
-                                                    axis1=-2, axis2=-1)
-                    cc = xi[:, None] * (self.ubm_mu - self.mu) ** 2
-                    sig = (aa + bb + cc) * zinv[:, None]
-                sig = jnp.clip(sig, min=self.var_floor)
-                self.sigma = jax.vmap(jnp.diag)(sig)
-            else:
-                pxx = jnp.einsum("bk,bl,bm->klm", posterior, x, x)
-                mm = jnp.einsum("kl,km->klm", self.mu, self.mu)
-                if self.alpha == 0:
-                    sig = pxx * zinv[:, None, None] - mm
-                else:
-                    y = jnp.sum(posterior, axis=0)
-                    nu = px / y[:, None]
-                    nm = jnp.einsum("kl,km->klm", nu, self.mu)
-                    mn = jnp.swapaxes(nm, -2, -1)
-                    aa = pxx - y[:, None, None] * (nm + mn - mm)
-                    aa = jnp.nan_to_num(aa, nan=0.0, posinf=0.0, neginf=0.0)
-                    bb = xi[:, None, None] * self.ubm_sigma
-                    cc = xi[:, None, None] * jnp.einsum(
-                        "kl,km->klm", self.ubm_mu - self.mu,
-                        self.ubm_mu - self.mu)
-                    sig = (aa + bb + cc) * zinv[:, None, None]
-                sig = sig * self.mask
-                d = jnp.clip(jnp.diagonal(sig, axis1=-2, axis2=-1),
-                             min=self.var_floor)
-                L = sig.shape[-1]
-                eye = jnp.eye(L, dtype=bool)
-                sig = jnp.where(eye, d[..., None, :] * jnp.eye(L), sig)
-                self.sigma = sig
-
+            new_params, ll = self._em_jit(params, x)
             change = float(ll) - prev_ll
+            # ll is evaluated at the pre-update parameters, matching the
+            # reference's convergence bookkeeping (gmm.py:376-392).
+            params = new_params
             if n and change < self.eps:
                 break
             prev_ll = float(ll)
+        self.w, self.mu, self.sigma = params
 
         params = (self.w, self.mu, self.sigma)
         if return_posterior:

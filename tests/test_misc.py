@@ -184,3 +184,31 @@ def test_f0eval():
         ours = diffsptk_tpu.F0Evaluation(out_format=fmt)
         ref = reference.F0Evaluation(out_format=fmt)
         U.check_parity(lambda a, b: ours(a, b), lambda a, b: ref(a, b), x, y)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from diffsptk_tpu.utils import checkpoint
+
+    op = diffsptk_tpu.Window(16, learnable=True)
+    p = op.trainable_params
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, p)
+    p2 = checkpoint.load(path, jax.tree.map(jnp.zeros_like, p))
+    for k in p:
+        np.testing.assert_allclose(np.asarray(p[k]), np.asarray(p2[k]))
+
+
+def test_learnable_dfs():
+    import jax
+
+    op = diffsptk_tpu.IIR(b=[1.0, -0.97], a=[1.0, 0.5], learnable=True)
+    assert set(op.learnable) == {"a", "b"}
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(64))
+
+    def loss(p):
+        return jnp.sum(op.apply({**op.params, **p}, x) ** 2)
+
+    g = jax.grad(loss)(op.trainable_params)
+    assert all(float(jnp.abs(v).max()) > 0 for v in g.values())

@@ -101,3 +101,27 @@ def test_sharded_vocoder_grad_flows():
     g = jax.jit(jax.grad(loss))(mc)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_data_parallel_gmm_matches_single():
+    """dp-sharded GMM EM == single-device EM (GSPMD psum reductions)."""
+    from jax.sharding import Mesh
+
+    from diffsptk_tpu.parallel.learners import DataParallelGMM
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.normal(-2, 0.5, (64, 3)),
+                        rng.normal(+2, 0.8, (64, 3))])
+    single = diffsptk_tpu.GMM(2, 2, n_iter=10, seed=1)
+    (w1, mu1, s1), ll1 = single(jnp.asarray(x))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("dp",))
+    dp = DataParallelGMM(mesh, 2, 2, n_iter=10, seed=1)
+    (w2, mu2, s2), ll2 = dp(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-7)
+    assert abs(float(ll1) - float(ll2)) < 1e-6
+
+    with pytest.raises(ValueError, match="divisible"):
+        dp(jnp.asarray(x[:127]))

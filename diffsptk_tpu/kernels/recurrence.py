@@ -27,9 +27,15 @@ def first_order_recurrence(x: jnp.ndarray, p: jnp.ndarray,
                            axis: int = -1) -> jnp.ndarray:
     """Solve y[t] = p[t] * y[t-1] + x[t] (y[-1] = 0) along ``axis``.
 
-    Exact log-depth parallel form: the affine maps t -> (p[t], x[t]) compose
-    associatively, so a single associative_scan yields all prefixes.
+    On TPU at float32/complex64 this runs the single-pass Pallas scan
+    kernel (kernels/pallas_scan.py) with a custom VJP; elsewhere, the
+    exact log-depth parallel form: the affine maps t -> (p[t], x[t])
+    compose associatively, so one associative_scan yields all prefixes.
     """
+    if axis in (-1, x.ndim - 1):
+        from .pallas_scan import scan_diff, supported
+        if supported(x, p):
+            return scan_diff(jnp.broadcast_to(p, x.shape), x)
 
     def combine(l, r):
         pl, xl = l

@@ -135,9 +135,10 @@ class GammatoneFilterBankAnalysis(BaseNonFunctionalOp):
         self.design = d
         self.gamma = d["gamma"]
         self.exact = exact
-        self.a_tilde = jnp.asarray(d["a_tilde"])       # complex128
-        self.K = jnp.asarray(d["K"])
-        self.b = None if d["b"] is None else jnp.asarray(d["b"])
+        # complex design constants stay host-side (see core.to_device_array)
+        self.a_tilde = to_device_array(d["a_tilde"])
+        self.K = to_device_array(d["K"])
+        self.b = None if d["b"] is None else to_device_array(d["b"])
         self.center_frequencies = d["center_frequencies"]
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -208,7 +209,9 @@ class GammatoneFilterBankSynthesis(BaseNonFunctionalOp):
                 break
 
         self.phase_factors = to_device_array(phase_factors[:, None])
-        self.delay_samples = jnp.asarray(delay_samples[:, None])
+        # host-side ints: gather indices must be trace-time constants
+        self.delay_samples = np.asarray(delay_samples[:, None], np.int32)
+        self.max_delay = int(delay_samples.max())
         self.gains = to_device_array(gains.real[:, None], dtype)
 
     def __call__(self, y: jnp.ndarray, keepdim: bool = True,
@@ -223,11 +226,13 @@ class GammatoneFilterBankSynthesis(BaseNonFunctionalOp):
         phi = self.phase_factors
         y_prime = y.real * phi.real - y.imag * phi.imag
 
-        max_delay = int(jnp.max(self.delay_samples))
+        max_delay = self.max_delay
         padded = jnp.pad(y_prime, [(0, 0), (0, 0), (max_delay, 0)])
-        indices = jnp.arange(T)[None, :] + max_delay - self.delay_samples
-        indices = jnp.broadcast_to(indices[None], (B, K, T))
-        delayed = jnp.take_along_axis(padded, indices, axis=-1)
+        indices = (np.arange(T)[None, :] + max_delay
+                   - self.delay_samples).astype(np.int32)   # (K, T) const
+        delayed = jnp.take_along_axis(
+            padded, jnp.broadcast_to(jnp.asarray(indices)[None], (B, K, T)),
+            axis=-1)
 
         x = jnp.sum(delayed * self.gains, axis=1, keepdims=keepdim)
         if compensate_delay:

@@ -1,0 +1,88 @@
+"""Pallas first-order scan kernel (kernels/pallas_scan.py).
+
+The CPU suite exercises the kernel in Pallas interpreter mode; the real
+TPU path is driven by the on-chip verification (DRC/gammatone/MLSA-pade
+run through it when the backend is TPU).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import diffsptk_tpu  # noqa: F401  (backend config via conftest)
+from diffsptk_tpu.kernels import pallas_scan
+
+
+def _ref_scan(p, x):
+    y = np.zeros_like(x)
+    acc = np.zeros(x.shape[:-1], x.dtype)
+    for t in range(x.shape[-1]):
+        acc = p[..., t] * acc + x[..., t]
+        y[..., t] = acc
+    return y
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    import jax.experimental.pallas as pl
+    real_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return real_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    monkeypatch.setattr(pallas_scan.pl, "pallas_call", interp_call)
+    # the jit wrapper caches; clear so the interpreted version traces
+    pallas_scan.pallas_first_order_scan.clear_cache()
+    yield
+    pallas_scan.pallas_first_order_scan.clear_cache()
+
+
+@pytest.mark.parametrize("shape", [(3, 500), (1, 2049), (2, 2, 300)])
+def test_real_scan_matches_reference(shape):
+    rng = np.random.default_rng(0)
+    p = (0.9 * rng.uniform(-1, 1, shape)).astype(np.float32)
+    x = rng.standard_normal(shape).astype(np.float32)
+    y = np.asarray(pallas_scan.pallas_first_order_scan(
+        jnp.asarray(p), jnp.asarray(x), chunk=256))
+    np.testing.assert_allclose(y, _ref_scan(p, x), rtol=2e-5, atol=2e-5)
+
+
+def test_complex_scan_matches_reference():
+    rng = np.random.default_rng(1)
+    shape = (2, 700)
+    p = (0.8 * np.exp(1j * rng.uniform(0, 6.28, shape))).astype(np.complex64)
+    x = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    y = np.asarray(pallas_scan.pallas_first_order_scan(
+        jnp.asarray(p), jnp.asarray(x), chunk=256))
+    np.testing.assert_allclose(y, _ref_scan(p, x), rtol=1e-4, atol=1e-4)
+
+
+def test_vjp_matches_associative_scan():
+    rng = np.random.default_rng(2)
+    shape = (2, 400)
+    p = jnp.asarray((0.9 * rng.uniform(-1, 1, shape)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    def loss_pallas(p, x):
+        return jnp.sum(jnp.sin(pallas_scan.scan_diff(p, x)))
+
+    def assoc(x, p):
+        def combine(l, r):
+            pl_, xl = l
+            pr_, xr = r
+            return pl_ * pr_, xl * pr_ + xr
+        _, y = jax.lax.associative_scan(combine, (p, x), axis=-1)
+        return y
+
+    def loss_assoc(p, x):
+        return jnp.sum(jnp.sin(assoc(x, p)))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1))(p, x)
+    g2 = jax.grad(loss_assoc, argnums=(0, 1))(p, x)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

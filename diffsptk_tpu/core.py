@@ -71,6 +71,9 @@ def to_device_array(a, dtype=None):
     if np.iscomplexobj(a):
         cdtype = jnp.result_type(jnp.dtype(dtype), np.complex64)
         return np.asarray(a, dtype=cdtype)
+    if np.issubdtype(a.dtype, np.integer) or a.dtype == np.bool_:
+        # index/mask constants must keep their integral dtype
+        return jnp.asarray(a)
     return jnp.asarray(a, dtype=dtype)
 
 

@@ -237,7 +237,7 @@ def lpc2par(a, gamma=1.0, c=None):
 def par2lpc(k, gamma=1.0, c=None):
     """PARCOR to LPC."""
     return ParcorCoefficientsToLinearPredictiveCoefficients._func(
-        k, par_order=k.shape[-1] - 1, gamma=gamma, c=c)
+        k, lpc_order=k.shape[-1] - 1, gamma=gamma, c=c)
 
 
 def par2is(k):

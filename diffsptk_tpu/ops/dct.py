@@ -108,8 +108,12 @@ def design_wht(L: int, wht_type: str | int = "natural") -> np.ndarray:
 class _MatmulOp(BaseOp):
     """Shared machinery: y = x @ W with a host-designed basis."""
 
-    def __init__(self, length: int, **kwargs):
+    def __init__(self, length: int | None = None, **kwargs):
         dtype = kwargs.pop("dtype", None)
+        if length is None:
+            # reference keyword style: dct_length=, dst_length=, ...
+            key = next(k for k in kwargs if k.endswith("_length"))
+            length = kwargs.pop(key)
         self.in_dim = length
         self._setup(self._design(length, **kwargs), dtype=dtype)
 

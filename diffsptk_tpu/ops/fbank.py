@@ -163,10 +163,11 @@ class InverseMelFilterBankAnalysis(BaseOp):
                  f_min: float = 0, f_max: float | None = None,
                  gamma: float = 0, scale: str = "htk",
                  erb_factor: float | None = None, use_power: bool = False,
-                 dtype=None) -> None:
+                 learnable: bool = False, dtype=None) -> None:
         self.in_dim = n_channel
-        self._setup(self._design(**filter_values(locals(), ("dtype",))),
-                    dtype=dtype)
+        self._setup(
+            self._design(**filter_values(locals(), ("learnable", "dtype"))),
+            learnable=["H"] if learnable else False, dtype=dtype)
 
     @staticmethod
     def _check() -> None:

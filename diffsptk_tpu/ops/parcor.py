@@ -71,19 +71,19 @@ class ParcorCoefficientsToLinearPredictiveCoefficients(BaseOp):
 
     _input_names = ("k",)
 
-    def __init__(self, par_order: int, gamma: float = 1.0,
+    def __init__(self, lpc_order: int, gamma: float = 1.0,
                  c: int | None = None) -> None:
-        self.in_dim = par_order + 1
+        self.in_dim = lpc_order + 1
         self._setup(self._design(**filter_values(locals())))
 
     @staticmethod
-    def _check(par_order: int, gamma: float, c: int | None) -> None:
-        _check_order_gamma(par_order, gamma, c)
+    def _check(lpc_order: int, gamma: float, c: int | None) -> None:
+        _check_order_gamma(lpc_order, gamma, c)
 
     @staticmethod
-    def _design(par_order: int, gamma: float = 1.0,
+    def _design(lpc_order: int, gamma: float = 1.0,
                 c: int | None = None) -> Design:
-        _check_order_gamma(par_order, gamma, c)
+        _check_order_gamma(lpc_order, gamma, c)
         return Design(values={"gamma": get_gamma(gamma, c)})
 
     @staticmethod

@@ -1,10 +1,15 @@
 """Polynomial roots and inverse (reference: diffsptk/modules/root_pol.py,
 pol_root.py).
 
-Complex eigendecomposition has no TPU path, so PolynomialToRoots runs the
-companion-matrix eigensolve on the host through ``jax.pure_callback`` (the
-roots of *static* polynomials — e.g. Padé denominators — are precomputed at
-design time and never hit this path).  RootsToPolynomial is a jittable
+Complex eigendecomposition has no TPU path.  The default root finder is a
+batched, fully on-device **Aberth-Ehrlich** simultaneous iteration
+(``method='aberth'``): cubically convergent, pure complex elementwise
+arithmetic, so it jits on any backend with no host round-trip in the
+middle of the graph.  ``method='eig'`` runs the companion-matrix
+eigensolve on the host through ``jax.pure_callback`` for bit parity with
+LAPACK (unavailable on backends without host callbacks).  The roots of
+*static* polynomials — e.g. Padé denominators — are precomputed at design
+time and never hit either path.  RootsToPolynomial is a jittable
 convolution cascade.
 """
 
@@ -31,6 +36,51 @@ def _np_roots_batched(a: np.ndarray) -> np.ndarray:
     return out.reshape(shape[:-1] + (shape[-1] - 1,))
 
 
+def aberth_roots(a: jnp.ndarray, n_iter: int = 64) -> jnp.ndarray:
+    """Batched Aberth-Ehrlich root finding, fully on-device.
+
+    a: (..., M+1) coefficients in descending powers (real or complex).
+    Returns (..., M) complex roots (unordered).  All arithmetic is
+    elementwise complex, so this runs jitted on TPU where complex eig
+    does not.
+    """
+    cdtype = jnp.result_type(a.dtype, np.complex64)
+    a = a.astype(cdtype)
+    M = a.shape[-1] - 1
+    monic = a / a[..., :1]
+
+    # Initial guesses: circle of Cauchy-bound radius with irrational
+    # angular offset (breaks symmetry for real-coefficient inputs).
+    radius = 1.0 + jnp.max(jnp.abs(monic[..., 1:]), axis=-1, keepdims=True)
+    k = jnp.arange(M)
+    angles = 2 * jnp.pi * (k + 0.376) / M + 0.5
+    z = radius.astype(cdtype) * jnp.exp(1j * angles).astype(cdtype)
+
+    powers = jnp.arange(M, -1, -1)
+    dcoef = monic[..., :-1] * powers[:-1]
+
+    def horner(c, z):
+        # evaluate sum c_k z^(M-k) at z: (..., M) points
+        acc = jnp.zeros_like(z) + c[..., :1]
+        for i in range(1, c.shape[-1]):
+            acc = acc * z + c[..., i:i + 1]
+        return acc
+
+    def step(z, _):
+        p = horner(monic, z)
+        dp = horner(dcoef, z)
+        w = p / jnp.where(dp == 0, 1e-30, dp)
+        diff = z[..., :, None] - z[..., None, :]
+        eye = jnp.eye(M, dtype=bool)
+        inv = jnp.where(eye, 0.0, 1.0 / jnp.where(eye, 1.0, diff))
+        s = jnp.sum(inv, axis=-1)
+        corr = w / (1.0 - w * s)
+        return z - corr, None
+
+    z, _ = jax.lax.scan(step, z, None, length=n_iter)
+    return z
+
+
 class PolynomialToRoots(BaseOp):
     """(..., M+1) coefficients (descending powers) -> (..., M) complex
     roots.  Non-differentiable (host callback)."""
@@ -38,7 +88,8 @@ class PolynomialToRoots(BaseOp):
     _input_names = ("a",)
 
     def __init__(self, order: int, eps: float | None = None,
-                 out_format: str | int = "rectangular", dtype=None) -> None:
+                 out_format: str | int = "rectangular",
+                 method: str = "aberth", dtype=None) -> None:
         self.in_dim = order + 1
         self._setup(self._design(**filter_values(locals(), ("dtype",))))
 
@@ -51,18 +102,25 @@ class PolynomialToRoots(BaseOp):
 
     @staticmethod
     def _design(order: int, eps: float | None = None,
-                out_format: str | int = "rectangular") -> Design:
+                out_format: str | int = "rectangular",
+                method: str = "aberth") -> Design:
         PolynomialToRoots._check(order, eps)
+        if method not in ("aberth", "eig"):
+            raise ValueError(f"method {method} is not supported.")
         if out_format in (0, "rectangular"):
             formatter = lambda x: x
         elif out_format in (1, "polar"):
             formatter = lambda x: jax.lax.complex(jnp.abs(x), jnp.angle(x))
         else:
             raise ValueError(f"out_format {out_format} is not supported.")
-        return Design(values={"order": order, "formatter": formatter})
+        return Design(values={"order": order, "formatter": formatter,
+                              "method": method})
 
     @staticmethod
-    def _forward(a: jnp.ndarray, *, order: int, formatter) -> jnp.ndarray:
+    def _forward(a: jnp.ndarray, *, order: int, formatter,
+                 method: str = "aberth") -> jnp.ndarray:
+        if method == "aberth":
+            return formatter(aberth_roots(a))
         cdtype = jnp.result_type(a.dtype, np.complex64)
         out_spec = jax.ShapeDtypeStruct(a.shape[:-1] + (order,), cdtype)
 

@@ -50,10 +50,10 @@ def cases():
                                             frame_period=16, fft_length=64),
                            (x,))
     yield "istft", lambda: (
-        lambda X: F.istft(X, out_length=T, frame_length=32, frame_period=16,
-                          fft_length=64),
-        (F.stft(x, frame_length=32, frame_period=16, fft_length=64,
-                out_format="complex"),))
+        lambda x: F.istft(F.stft(x, frame_length=32, frame_period=16,
+                                 fft_length=64, out_format="complex"),
+                          out_length=T, frame_length=32, frame_period=16,
+                          fft_length=64), (x,))
     yield "spec", lambda: (lambda f: F.spec(f, fft_length=64), (frames,))
     yield "griffin", lambda: (
         lambda A: F.griffin(A, out_length=T, frame_length=32,
@@ -161,7 +161,9 @@ def cases():
                              (mc,))
     yield "mpir2c", lambda: (
         lambda h: F.mpir2c(h, cep_order=M, n_fft=64),
-        (F.c2mpir(mc, ir_length=16, n_fft=64),))
+        # jit the prep: eager real->complex converts are unimplemented
+        # on the tunneled backend
+        (jax.jit(lambda c: F.c2mpir(c, ir_length=16, n_fft=64))(mc),))
     yield "c2ndps", lambda: (lambda c: F.c2ndps(c, fft_length=64), (mc,))
     yield "ndps2c", lambda: (
         lambda n: F.ndps2c(n, cep_order=M),
@@ -218,11 +220,14 @@ def cases():
     yield "drc", lambda: (
         lambda x: F.drc(x, threshold=-20, ratio=4, attack_time=10,
                         release_time=100, sample_rate=SR), (x,))
+    # complex values are built/reduced INSIDE jit: eager complex
+    # conversions are unimplemented on the tunneled backend
     yield "pol_root", lambda: (
-        F.pol_root,
-        (jnp.asarray([[0.5 + 0.1j, 0.5 - 0.1j, -0.3 + 0j]]),))
+        lambda re, im: F.pol_root(re + 1j * im).real,
+        (jnp.asarray([[0.5, 0.5, -0.3]]), jnp.asarray([[0.1, -0.1, 0.0]])))
     yield "root_pol", lambda: (
-        lambda a: F.root_pol(a), (jnp.asarray([[1.0, -0.5, 0.06]]),))
+        lambda a: jnp.abs(F.root_pol(a)),
+        (jnp.asarray([[1.0, -0.5, 0.06]]),))
     yield "csm2acr", lambda: (
         lambda c: F.csm2acr(c),
         (jnp.asarray([[0.3, 1.2, 1.0, 0.5]]),))
@@ -234,10 +239,11 @@ def cases():
     yield "par2lar", lambda: (F.par2lar, (F.lpc2par(lpc_v),))
     yield "par2is", lambda: (F.par2is, (F.lpc2par(lpc_v),))
     yield "is2par", lambda: (F.is2par, (F.par2is(F.lpc2par(lpc_v)),))
-    yield "fftr", lambda: (lambda f: F.fftr(f, fft_length=64), (frames,))
+    yield "fftr", lambda: (
+        lambda f: jnp.abs(F.fftr(f, fft_length=64)), (frames,))
     yield "ifftr", lambda: (
-        lambda y: F.ifftr(y, out_length=32),
-        (F.fftr(frames, fft_length=64, out_format="complex"),))
+        lambda f: F.ifftr(F.fftr(f, fft_length=64), out_length=32),
+        (frames,))
 
 
 def main() -> None:

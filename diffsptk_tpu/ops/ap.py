@@ -324,12 +324,16 @@ class AperiodicityExtractionByD4C:
                                        self.max_boundary)
         sgd = sgd - smoothed_gd
 
-        # GetCoarseAperiodicity()
+        # GetCoarseAperiodicity() — the reference sorts the spectrum and
+        # reads a tail cumsum (ap.py:~620); only the top (boundary+1)
+        # peak mass is actually needed, and top_k is far cheaper than a
+        # full sort on TPU.
         boundary = round(self.fft_length_d4c * 8 / self.window_length)
         ps = self.spec_d4c(sgd[..., None, :] * self.windows)
-        ps = jnp.sort(ps, axis=-1)
-        ps = jnp.cumsum(ps, axis=-1)
-        coarse = 10 * jnp.log10(ps[..., -(boundary + 2)] / ps[..., -1])
+        total = jnp.sum(ps, axis=-1)
+        peaks, _ = jax.lax.top_k(ps, boundary + 1)
+        numer = total - jnp.sum(peaks, axis=-1)
+        coarse = 10 * jnp.log10(numer / total)
         coarse = jnp.clip(coarse + (f0 - 100) / 50, max=-eps)
 
         # GetAperiodicity()

@@ -86,7 +86,12 @@ class WorldSynthesis(BaseNonFunctionalOp):
         dphase = jnp.abs(jnp.diff(wrap_phase, axis=-1))   # (B, T-1)
         pulse_mask = jnp.pi < dphase
 
-        min_period = max(int(self.sample_rate / self.f0_ceil / 2), 1)
+        # Pulses fire at phase wraps of interp_f0, which is bounded by
+        # f0_ceil (voiced) and default_f0 (unvoiced), both <= f0_ceil:
+        # the minimum pulse spacing is sr/f0_ceil samples.  The slot
+        # table sizes every per-pulse FFT, so this bound is the knob
+        # that sets synthesis cost.
+        min_period = max(int(self.sample_rate / self.f0_ceil), 1)
         max_pulses = T // min_period + 2
 
         ordinal = jnp.cumsum(pulse_mask.astype(jnp.int32), axis=-1) - 1

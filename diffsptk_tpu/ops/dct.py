@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import BaseOp, Design, check_size, filter_values
+from ..core import BaseOp, Design, check_size
 from ..utils.linalg import plateau
 
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import BaseOp, Design, filter_values, to_device_array
+from ..core import BaseOp, Design, filter_values
 
 
 def ms2coef(ms: float, sample_rate: int) -> float:

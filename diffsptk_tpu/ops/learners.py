@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import BaseLearnerOp, default_dtype
-from .vq import VectorQuantization, _nearest
+from .vq import VectorQuantization
 
 
 class GaussianMixtureModeling(BaseLearnerOp):

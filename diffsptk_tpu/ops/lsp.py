@@ -10,7 +10,6 @@ jittable, no host callback (SURVEY.md §7 hard-part #4).
 
 from __future__ import annotations
 
-import warnings
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..core import BaseOp, Design, check_size, filter_values, get_layer
 from ..utils.linalg import hankel, spd_solve, symmetric_toeplitz
-from .freqt import FrequencyTransform, design_freqt
+from .freqt import FrequencyTransform
 
 
 def design_coef_freqt(in_order: int, out_order: int,

@@ -9,8 +9,6 @@ also sidesteps GSPMD resharding in front of the FFT.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

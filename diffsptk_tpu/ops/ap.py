@@ -301,7 +301,8 @@ class AperiodicityExtractionByD4C:
         static_centroid = get_centroid(-0.25) + get_centroid(0.25)
         static_centroid = dc_correction(static_centroid, f0,
                                         self.sample_rate,
-                                        self.fft_length_d4c, self.ramp)
+                                        self.fft_length_d4c, self.ramp,
+                                        max_bins=self.max_boundary)
 
         # GetSmoothedPowerSpectrum()
         waveform = get_windowed_waveform(
@@ -309,7 +310,8 @@ class AperiodicityExtractionByD4C:
             self.fft_length_love, "hanning", False, 1e-6, self.ramp)
         power_spectrum = self.spec_d4c(waveform)
         power_spectrum = dc_correction(power_spectrum, f0, self.sample_rate,
-                                       self.fft_length_d4c, self.ramp)
+                                       self.fft_length_d4c, self.ramp,
+                                       max_bins=self.max_boundary)
         smoothed = linear_smoothing(power_spectrum, f0, self.sample_rate,
                                     self.fft_length_d4c, self.ramp,
                                     self.max_boundary)

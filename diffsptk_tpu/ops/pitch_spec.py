@@ -66,8 +66,10 @@ class SpectrumExtractionByCheapTrick:
             self.fft_length, "hanning", True, 1e-12, self.ramp)
 
         power_spectrum = self.spec(waveform)
+        dc_bins = int(self.f0_ceil / (self.sample_rate / self.fft_length)) + 2
         power_spectrum = dc_correction(power_spectrum, f0, self.sample_rate,
-                                       self.fft_length, self.ramp)
+                                       self.fft_length, self.ramp,
+                                       max_bins=dc_bins)
         power_spectrum = linear_smoothing(
             power_spectrum, f0 * (2 / 3), self.sample_rate, self.fft_length,
             self.ramp, self.max_boundary)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import BaseNonFunctionalOp, to_device_array
-from .world_common import TAU, get_minimum_phase_spectrum, interp1
+from .world_common import TAU, get_minimum_phase_spectrum
 
 
 class WorldSynthesis(BaseNonFunctionalOp):
@@ -71,12 +71,20 @@ class WorldSynthesis(BaseNonFunctionalOp):
         coarse_vuv = (0 < coarse_f0).astype(coarse_f0.dtype)
         time_axis = (jnp.arange(T, dtype=f0.dtype)
                      / self.sample_rate)[None, :].repeat(B, 0)
-        coarse_time = (jnp.arange(N, dtype=f0.dtype)
-                       * (P / self.sample_rate))[None, :].repeat(B, 0)
-        interp_f0 = interp1(coarse_time, coarse_f0, time_axis,
-                            batching=(True, True))
-        interp_vuv = interp1(coarse_time, coarse_vuv, time_axis,
-                             batching=(True, True)) > 0.5
+        # Frame-rate -> sample-rate upsampling on the uniform frame grid:
+        # static-index lerp (constant extrapolation past the last frame),
+        # equal to the reference's interp1 but with trace-time-constant
+        # gather indices (per-element dynamic gathers scalarize on TPU).
+        t = np.arange(T)
+        i0 = np.minimum(t // P, N - 1)
+        i1 = np.minimum(i0 + 1, N - 1)
+        wt = jnp.asarray(((t % P) / P).astype(np.float64), f0.dtype)
+
+        def upsample(c):
+            return c[..., i0] * (1 - wt) + c[..., i1] * wt
+
+        interp_f0 = upsample(coarse_f0)
+        interp_vuv = upsample(coarse_vuv) > 0.5
         interp_f0 = jnp.where(interp_vuv, interp_f0, self.default_f0)
 
         # GetPulseLocationsForTimeBase() — fixed slot table.
@@ -165,14 +173,23 @@ class WorldSynthesis(BaseNonFunctionalOp):
             [aperiodic[..., :1], jnp.flip(aperiodic[..., 1:], -1)], axis=-1)
         aperiodic = jnp.fft.fftshift(aperiodic, axes=-1)
 
-        # Synthesis(): masked scatter-add overlap-add
+        # Synthesis(): masked overlap-add as a windowed scatter-add —
+        # per-window start indices with the L axis as a window dimension
+        # (a general per-element-index scatter is ~3x slower on TPU).
         response = (periodic * jnp.sqrt(noise_size) + aperiodic) / L
         response = response * valid[..., None]
         margin = (L + P - 1) // P * P
         T_ = T + margin
-        y = jnp.zeros((B, T_), sp.dtype)
-        idx = time_index[..., None] + self.ramp[None, None, :]
-        y = y.at[bidx[..., None], idx].add(response, mode="drop")
+        operand = jnp.zeros((B, T_), sp.dtype)
+        sidx = jnp.stack(
+            [jnp.broadcast_to(bidx.astype(jnp.int32), time_index.shape),
+             time_index], axis=-1)
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(2,), inserted_window_dims=(0,),
+            scatter_dims_to_operand_dims=(0, 1))
+        y = jax.lax.scatter_add(
+            operand, sidx, response, dn,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
         y = y[:, H:H + T]
 
         if one_d:

@@ -334,7 +334,7 @@ class AperiodicityExtractionByD4C:
         ps = self.spec_d4c(sgd[..., None, :] * self.windows)
         total = jnp.sum(ps, axis=-1)
         peaks, _ = jax.lax.top_k(ps, boundary + 1)
-        numer = total - jnp.sum(peaks, axis=-1)
+        numer = jnp.maximum(total - jnp.sum(peaks, axis=-1), 1e-30)
         coarse = 10 * jnp.log10(numer / total)
         coarse = jnp.clip(coarse + (f0 - 100) / 50, max=-eps)
 

@@ -73,12 +73,15 @@ class SpectrumExtractionByCheapTrick:
         power_spectrum = linear_smoothing(
             power_spectrum, f0 * (2 / 3), self.sample_rate, self.fft_length,
             self.ramp, self.max_boundary)
-        # AddInfinitesimalNoise()
+        # AddInfinitesimalNoise(); also clamp away the tiny negatives
+        # FFT-form smoothing can round to at float32 (the true smoothed
+        # power is positive) before the log below.
         power_spectrum = power_spectrum + (
             jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
                                       power_spectrum.shape,
                                       power_spectrum.dtype))
             * jnp.finfo(x.dtype).eps)
+        power_spectrum = jnp.maximum(power_spectrum, 1e-30)
 
         one_sided = self.fft_length // 2 + 1
         quefrency = self.ramp[:one_sided] / self.sample_rate

@@ -153,12 +153,13 @@ class AperiodicityExtractionByTANDEM:
             J = self.segment_length[i]
             j = self.ramp[: J + 2][None, None, :]
             T1 = xb.shape[-1] - 1
-            xx = xb[:, None, :]                                 # (B, 1, T)
+            barange = jnp.arange(B)[:, None, None]
 
             def gather(idx):
+                # direct advanced-index gather: broadcasting xb to
+                # (B, N, T) first would materialize a huge copy
                 idx = jnp.clip(idx, 0, T1)
-                return jnp.take_along_axis(
-                    jnp.broadcast_to(xx, (B, N, xb.shape[-1])), idx, axis=-1)
+                return xb[barange, idx]
 
             idx_alpha = (origin - t0)[..., None] + j            # (B, N, J+2)
             H_alpha = gather(idx_alpha)

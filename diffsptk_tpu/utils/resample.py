@@ -79,14 +79,19 @@ class Resampler:
             return x
         shape = x.shape
         T = shape[-1]
-        xf = x.reshape(-1, 1, T)
+        xf = x.reshape(-1, T)
         target_length = -(-self.new_freq * T // self.orig_freq)  # ceil
         pad = self.width + self.orig_freq
-        xf = jnp.pad(xf, [(0, 0), (0, 0), (self.width, pad)])
-        y = jax.lax.conv_general_dilated(
-            xf, self.kernel.astype(x.dtype), window_strides=(self.orig_freq,),
-            padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
-        # (B, new_freq, frames) -> interleave phases
-        y = jnp.swapaxes(y, 1, 2).reshape(xf.shape[0], -1)
-        y = y[..., :target_length]
+        xf = jnp.pad(xf, [(0, 0), (self.width, pad)])
+        # Polyphase filtering as a framed matmul: frame n covers
+        # [n*orig, n*orig + K); all phases come from one (n, K) @ (K, P)
+        # dot on the MXU.  (The equivalent 1-channel wide-kernel strided
+        # conv takes minutes to compile on the TPU AOT compiler.)
+        K = self.kernel.shape[-1]
+        n_frames = (xf.shape[-1] - K) // self.orig_freq + 1
+        idx = (np.arange(n_frames)[:, None] * self.orig_freq
+               + np.arange(K)[None, :])
+        frames = xf[..., idx]                            # (B, n, K)
+        y = frames @ self.kernel[:, 0, :].T.astype(x.dtype)  # (B, n, P)
+        y = y.reshape(xf.shape[0], -1)[..., :target_length]
         return y.reshape(*shape[:-1], target_length)

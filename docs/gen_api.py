@@ -1,5 +1,9 @@
 """Regenerate docs/API.md from the live package: python docs/gen_api.py"""
 import inspect
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,119 @@
+"""Pallas TPU kernel: overlap-add of windowed responses (WORLD synthesis).
+
+Adds P windows of length L into a (B, T) buffer at per-window start
+indices.  XLA's windowed scatter-add is the fallback; the kernel keeps
+each output row resident in VMEM across slot chunks and performs the
+per-slot read-modify-write with dynamic slices — no scatter machinery.
+The output row (T*4 bytes) must fit comfortably in VMEM, which holds for
+speech-scale T (a few hundred thousand samples).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SLOT_CHUNK = 128
+_VMEM_ROW_LIMIT = 4 * 1024 * 1024          # bytes per output row
+
+
+def _make_kernel(Pp: int, C: int):
+    def _kernel(tidx_ref, resp_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(i == 0, j == 0))
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        L = resp_ref.shape[2]
+        Lp = L + 128
+        base = i * Pp + j * C
+
+        def body(s, _):
+            # Mosaic needs lane offsets provably 128-aligned: split the
+            # start index into an aligned base plus an in-register
+            # rotate of the response into a zero-tailed wide window.
+            t = tidx_ref[base + s]
+            t_lo = lax.rem(t, 128)
+            t_hi = t - t_lo
+            r = resp_ref[0, s, :].reshape(1, L)
+            wide = jnp.concatenate(
+                [r, jnp.zeros((1, 128), r.dtype)], axis=1)
+            wide = pltpu.roll(wide, t_lo, 1)
+            start = pl.multiple_of(t_hi, 128)
+            out_ref[i, pl.ds(start, Lp)] += wide[0]
+            return 0
+
+        lax.fori_loop(0, C, body, 0)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("out_len",))
+def _pallas_ola(tidx: jnp.ndarray, resp: jnp.ndarray,
+                out_len: int) -> jnp.ndarray:
+    B, P, L = resp.shape
+    pad_p = (-P) % _SLOT_CHUNK
+    if pad_p:
+        # padded slots: zero response at index 0 — harmless adds
+        resp = jnp.pad(resp, ((0, 0), (0, pad_p), (0, 0)))
+        tidx = jnp.pad(tidx, ((0, 0), (0, pad_p)))
+    Pp = resp.shape[1]
+    C = _SLOT_CHUNK
+    # room for the aligned-base write: up to 127 + L beyond the last
+    # start index, and a multiple of 128 overall
+    out_pad = -(-out_len // 128) * 128 + 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # tidx rides whole in SMEM
+        grid=(B, Pp // C),
+        in_specs=[
+            pl.BlockSpec((1, C, L), lambda i, j, t: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # full-array output block: stays VMEM-resident across the grid
+        out_specs=pl.BlockSpec((B, out_pad), lambda i, j, t: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y = pl.pallas_call(
+        _make_kernel(Pp, C),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, out_pad), resp.dtype),
+    )(tidx.reshape(-1), resp)
+    return y[:, :out_len]
+
+
+def overlap_add(tidx: jnp.ndarray, resp: jnp.ndarray,
+                out_len: int) -> jnp.ndarray:
+    """y[b, tidx[b,p] : tidx[b,p]+L] += resp[b, p] for every slot p.
+
+    Start indices must satisfy 0 <= tidx <= out_len - L (WORLD's slot
+    table guarantees this by construction).  Dispatches to the Pallas
+    kernel on TPU at float32; elsewhere uses XLA's windowed scatter-add.
+    """
+    B, P, L = resp.shape
+    use_pallas = False
+    try:
+        use_pallas = (jax.devices()[0].platform == "tpu"
+                      and resp.dtype == jnp.float32
+                      and out_len * 4 <= _VMEM_ROW_LIMIT)
+    except Exception:
+        pass
+    if use_pallas:
+        return _pallas_ola(tidx, resp, out_len)
+
+    operand = jnp.zeros((B, out_len), resp.dtype)
+    bidx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                            tidx.shape)
+    sidx = jnp.stack([bidx, tidx], axis=-1)
+    dn = lax.ScatterDimensionNumbers(
+        update_window_dims=(2,), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1))
+    return lax.scatter_add(operand, sidx, resp, dn,
+                           mode=lax.GatherScatterMode.FILL_OR_DROP)

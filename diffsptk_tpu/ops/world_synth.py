@@ -173,23 +173,15 @@ class WorldSynthesis(BaseNonFunctionalOp):
             [aperiodic[..., :1], jnp.flip(aperiodic[..., 1:], -1)], axis=-1)
         aperiodic = jnp.fft.fftshift(aperiodic, axes=-1)
 
-        # Synthesis(): masked overlap-add as a windowed scatter-add —
-        # per-window start indices with the L axis as a window dimension
-        # (a general per-element-index scatter is ~3x slower on TPU).
+        # Synthesis(): masked overlap-add through the Pallas OLA kernel
+        # (VMEM-resident output row, per-slot dynamic-slice adds);
+        # windowed scatter-add fallback off-TPU.
+        from ..kernels.pallas_ola import overlap_add
         response = (periodic * jnp.sqrt(noise_size) + aperiodic) / L
         response = response * valid[..., None]
         margin = (L + P - 1) // P * P
         T_ = T + margin
-        operand = jnp.zeros((B, T_), sp.dtype)
-        sidx = jnp.stack(
-            [jnp.broadcast_to(bidx.astype(jnp.int32), time_index.shape),
-             time_index], axis=-1)
-        dn = jax.lax.ScatterDimensionNumbers(
-            update_window_dims=(2,), inserted_window_dims=(0,),
-            scatter_dims_to_operand_dims=(0, 1))
-        y = jax.lax.scatter_add(
-            operand, sidx, response, dn,
-            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+        y = overlap_add(time_index, response, T_)
         y = y[:, H:H + T]
 
         if one_d:

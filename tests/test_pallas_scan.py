@@ -86,3 +86,21 @@ def test_vjp_matches_associative_scan():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_overlap_add_fallback_matches_explicit():
+    """pallas_ola's XLA fallback (used off-TPU) matches an explicit
+    per-element scatter."""
+    from diffsptk_tpu.kernels.pallas_ola import overlap_add
+
+    rng = np.random.default_rng(3)
+    B, P, L, T = 2, 37, 64, 800
+    resp = jnp.asarray(rng.standard_normal((B, P, L)).astype(np.float32))
+    tidx = jnp.asarray(rng.integers(0, T - L, (B, P)).astype(np.int32))
+    y = np.asarray(overlap_add(tidx, resp, T))
+    ref = np.zeros((B, T), np.float32)
+    for b in range(B):
+        for p in range(P):
+            t = int(tidx[b, p])
+            ref[b, t:t + L] += np.asarray(resp[b, p])
+    np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)

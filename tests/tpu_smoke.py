@@ -181,6 +181,25 @@ def cases():
                         frame_length=400)
     yield "mglsadf_freq", lambda: (
         lambda e, c: _mlsa_fd(e, c), (e, mc[:, :10],))
+    # ---- WORLD family (class-only ops) ----
+    _f0 = jnp.where((jnp.arange(20) >= 4) & (jnp.arange(20) < 16),
+                    120.0, 0.0)[None].repeat(2, 0)
+    _xw = x[..., :20 * 80]
+    _pitch = dsp.Pitch(80, SR, algorithm="yin", out_format="f0",
+                       f_min=80, f_max=180)
+    yield "pitch_yin", lambda: (_pitch, (x,))
+    _apt = dsp.Aperiodicity(80, SR, 1024, algorithm="tandem")
+    yield "ap_tandem", lambda: (lambda xx: _apt(xx, _f0), (_xw,))
+    _apd = dsp.Aperiodicity(80, SR, 1024, algorithm="d4c")
+    yield "ap_d4c", lambda: (lambda xx: _apd(xx, _f0), (_xw,))
+    _ct = dsp.PitchAdaptiveSpectralAnalysis(80, SR, 1024)
+    yield "cheaptrick", lambda: (lambda xx: _ct(xx, _f0), (_xw,))
+    _stg = dsp.PitchAdaptiveSpectralAnalysis(80, SR, 2048,
+                                             algorithm="straight")
+    yield "straight", lambda: (lambda xx: _stg(xx, _f0), (_xw,))
+    _wsyn = dsp.WorldSynthesis(80, SR, 1024)
+    yield "world_synth", lambda: (
+        lambda xx: _wsyn(_f0, _apt(xx, _f0), _ct(xx, _f0)), (_xw,))
     yield "excite", lambda: (
         lambda p: F.excite(p, frame_period=80),
         (jnp.full((2, 10), 100.0),))

@@ -180,6 +180,8 @@ from .ops import (
 DRC = DynamicRangeCompression
 DTW = DynamicTimeWarping
 MLPG = MaximumLikelihoodParameterGeneration
+RMSE = RootMeanSquareError
+SNR = SignalToNoiseRatio
 
 from .ops import (
     GaussianMixtureModeling,

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import BaseNonFunctionalOp, to_device_array
+from ..kernels.pallas_gather import gather_windows
 from ..utils.linalg import spd_solve
 from .spec import Spectrum
 from .window import design_window
@@ -71,6 +72,16 @@ def _conv_stride2(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         xp[:, None, :], h[None, None, :], window_strides=(2,),
         padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
     return out[:, 0, :]
+
+
+def _tandem_pad(tmp_fs: float, segment_length: int) -> int:
+    """Edge padding covering the worst-case window overhang.
+
+    After the f0 <= 32 -> default replacement, pitch = tmp_fs / f0 is
+    bounded by tmp_fs / 32; window starts overhang the band signal by at
+    most 1.5 * pitch + segment_length + a few samples on either side.
+    """
+    return int(1.5 * tmp_fs / 32) + segment_length + 8
 
 
 def _make_interp(coarse_axis: np.ndarray, fft_length: int,
@@ -151,42 +162,39 @@ class AperiodicityExtractionByTANDEM:
             origin = curr_pos - index_bias                      # (B, N)
 
             J = self.segment_length[i]
-            j = self.ramp[: J + 2][None, None, :]
-            T1 = xb.shape[-1] - 1
-            barange = jnp.arange(B)[:, None, None]
+            # One fused window gather per band (Pallas kernel on TPU).
+            # Edge-padding the band signal reproduces the reference's
+            # elementwise index clamp (ap.py:310-360) exactly: clamped
+            # reads return x[0]/x[-1], which is what replicate-pad
+            # windows contain.
+            pad = _tandem_pad(tmp_fs, J)
+            xp = jnp.pad(xb, ((0, 0), (pad, pad)), mode="edge")
+            starts = jnp.concatenate(
+                [origin - t0 - 1, origin + t0 - 1, origin],
+                axis=-1) + pad                                  # (B, 3N)
+            win = gather_windows(xp, starts, J + 2)             # (B, 3N, J+2)
 
-            def gather(idx):
-                # direct advanced-index gather: broadcasting xb to
-                # (B, N, T) first would materialize a huge copy
-                idx = jnp.clip(idx, 0, T1)
-                return xb[barange, idx]
-
-            idx_alpha = (origin - t0)[..., None] + j            # (B, N, J+2)
-            H_alpha = gather(idx_alpha)
-            idx_beta = (origin + t0)[..., None] + j
-            H_beta = gather(idx_beta)
-
-            # 3-tap unfolds
-            def unfold3(h):
-                return jnp.stack([h[..., :-2], h[..., 1:-1], h[..., 2:]],
-                                 axis=-1)                       # (B, N, J, 3)
-
-            H = jnp.concatenate((unfold3(H_alpha), unfold3(H_beta)),
-                                axis=-1)                        # (B, N, J, 6)
+            # Design matrix H = 6 shifted copies of the two gathered
+            # windows; never materialized — R = HᵀWH, rhs = HᵀWX, and
+            # Ha are lane reductions over J, which the VPU handles at
+            # full width (tiny batched (6,J)x(J,6) matmuls waste the
+            # MXU on tile padding).
+            cols = [win[:, p * N:(p + 1) * N, s:s + J]
+                    for p in range(2) for s in range(3)]        # 6x (B,N,J)
+            X = win[:, 2 * N:, :J]                              # (B, N, J)
             w = self.window[i, :J]
-            Hw = jnp.swapaxes(H, -2, -1) * w                    # (B, N, 6, J)
-            R = Hw @ H                                          # (B, N, 6, 6)
-
-            idx_gamma = origin[..., None] + j[..., 1:-1]
-            X = gather(idx_gamma)[..., None]                    # (B, N, J, 1)
-
-            b = Hw @ X                                          # (B, N, 6, 1)
-            a = spd_solve(R + self.eye, b[..., 0])[..., None]
-            Ha = H @ a                                          # (B, N, J, 1)
+            R = jnp.stack(
+                [jnp.stack([jnp.sum(w * cols[p] * cols[q], axis=-1)
+                            for q in range(6)], axis=-1)
+                 for p in range(6)], axis=-2)                   # (B, N, 6, 6)
+            rhs = jnp.stack([jnp.sum(w * cols[p] * X, axis=-1)
+                             for p in range(6)], axis=-1)       # (B, N, 6)
+            a = spd_solve(R + self.eye, rhs)                    # (B, N, 6)
+            Ha = sum(a[..., p:p + 1] * cols[p] for p in range(6))
 
             wsqrt = self.window_sqrt[i, :J]
-            wx = wsqrt * X[..., 0]
-            wxHa = wsqrt * (X - Ha)[..., 0]
+            wx = wsqrt * X
+            wxHa = wsqrt * (X - Ha)
             denom = jnp.std(wx, axis=-1, ddof=1)
             numer = jnp.std(wxHa, axis=-1, ddof=1)
             bap.append(numer / (denom + 1e-16))

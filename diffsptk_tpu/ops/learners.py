@@ -136,10 +136,12 @@ class GaussianMixtureModeling(BaseLearnerOp):
             col = jnp.linalg.cholesky(sigma)
             log_det = 2 * jnp.sum(
                 jnp.log(jnp.diagonal(col, axis1=-2, axis2=-1)), axis=-1)
-            precision = jnp.linalg.inv(sigma)
             diff = x[:, None, :] - mu[None, :, :]
-            right = jnp.einsum("klm,bkm->bkl", precision, diff)
-            mahala = jnp.sum(diff * right, axis=-1)
+            # mahala = ||col^-1 diff||^2 via one triangular solve per
+            # component — no explicit inverse
+            z = jax.scipy.linalg.solve_triangular(
+                col, jnp.moveaxis(diff, 0, -1), lower=True)   # (K, L, B)
+            mahala = jnp.moveaxis(jnp.sum(z * z, axis=-2), -1, 0)
         numer = jnp.log(w) - 0.5 * (log_pi + log_det + mahala)
         denom = jax.scipy.special.logsumexp(numer, axis=-1, keepdims=True)
         posterior = jnp.exp(numer - denom)
@@ -259,7 +261,11 @@ class GaussianMixtureModeling(BaseLearnerOp):
         L = N + 1
         sigma_yx = self.sigma[:, L:, :L]
         sigma_xx = self.sigma[:, :L, :L]
-        syx = sigma_yx @ jnp.linalg.inv(sigma_xx)
+        # syx = sigma_yx sigma_xx^-1 without forming the inverse:
+        # solve sigma_xx syxᵀ = sigma_xyᵀ (sigma_xx is SPD)
+        syx = jnp.swapaxes(
+            jnp.linalg.solve(sigma_xx, jnp.swapaxes(sigma_yx, -2, -1)),
+            -2, -1)
         mu_x = self.mu[indices, :L]
         mu_y = self.mu[indices, L:]
         diff = (x - mu_x)[..., None]

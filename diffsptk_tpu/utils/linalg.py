@@ -74,18 +74,70 @@ def plateau(length: int, first: float, middle: float, last: float | None = None,
     return x
 
 
+_SPD_UNROLL_MAX = 40
+
+
+def _spd_solve_batch_minor(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Small-n SPD solve with the batch on the minor (lane) axis.
+
+    With batch-major layout, an (..., n, n) array pads n up to the
+    8x128 register tile, a ~27x memory blowup at n=6 that makes every
+    loop step bandwidth-bound on padding.  Transposing to (n, n, batch)
+    puts the large batch on lanes, and with n static the Cholesky /
+    substitution recurrences unroll into pure full-lane VPU ops.
+    """
+    n = A.shape[-1]
+    batch_shape = A.shape[:-2]
+    At = jnp.moveaxis(A.reshape((-1,) + A.shape[-2:]), 0, -1)  # (n, n, BN)
+    bt = jnp.moveaxis(b.reshape(-1, n), 0, -1)                 # (n, BN)
+
+    cols = [None] * n          # L[:, j] as (n, BN) rows list
+    diag = [None] * n
+    rows = jnp.arange(n)
+    for j in range(n):
+        col = At[:, j]                                         # (n, BN)
+        inv = jax.lax.rsqrt(col[j])
+        lcol = col * inv * (rows[:, None] >= j)
+        cols[j] = lcol
+        diag[j] = lcol[j]
+        upd = lcol * (rows[:, None] > j)
+        At = At - upd[:, None, :] * upd[None, :, :]
+
+    y = [None] * n
+    for j in range(n):
+        acc = bt[j]
+        for k in range(j):
+            acc = acc - cols[k][j] * y[k]
+        y[j] = acc / diag[j]
+
+    x = [None] * n
+    for j in range(n - 1, -1, -1):
+        acc = y[j]
+        for k in range(j + 1, n):
+            acc = acc - cols[j][k] * x[k]
+        x[j] = acc / diag[j]
+
+    out = jnp.stack(x, axis=-1)                                # (BN, n)
+    return out.reshape(batch_shape + (n,))
+
+
 def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched symmetric-positive-definite solve A x = b.
 
-    A: (..., n, n), b: (..., n).  A masked right-looking Cholesky plus two
-    masked substitution sweeps, each a fori_loop of n steps over fully
+    A: (..., n, n), b: (..., n).  For small n (the mcep/mgcep Newton
+    and TANDEM fit systems, n <= ~32) a batch-minor unrolled Cholesky;
+    otherwise a masked right-looking Cholesky plus two masked
+    substitution sweeps, each a fori_loop of n steps over fully
     batched dense updates — every step is one (..., n) scale and one
     (..., n, n) rank-1 FMA, so the batch dimension saturates the VPU.
     XLA's builtin cholesky/triangular_solve serialize poorly for large
     batches of small systems on TPU (the mcep/mgcep Newton solves are
-    ~60k systems of n~25); this form is ~20x faster there.
+    ~60k systems of n~25); these forms are ~20x faster there.
     """
     n = A.shape[-1]
+    batch = int(np.prod(A.shape[:-2])) if A.ndim > 2 else 1
+    if n <= _SPD_UNROLL_MAX and batch >= 8:
+        return _spd_solve_batch_minor(A, b)
     rows = jnp.arange(n)
 
     def chol_step(j, LA):

@@ -49,7 +49,8 @@ def first_order_recurrence(x: jnp.ndarray, p: jnp.ndarray,
 
 def sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,
                     zi: jnp.ndarray | None = None,
-                    block: int | None = 256) -> jnp.ndarray:
+                    block: int | None = 256,
+                    axis_name: str | None = None) -> jnp.ndarray:
     """Time-varying all-pole filter: y[t] = x[t] - sum_k a[t,k] y[t-k].
 
     x: (..., T); a: (..., T, M); zi: optional (..., M) initial history
@@ -63,6 +64,11 @@ def sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,
     scan.
     """
     M = a.shape[-1]
+    if axis_name is not None:
+        # time-sharded path (inside shard_map): exact cross-shard state
+        # handoff through the blocked form's affine summaries
+        return blocked_sample_wise_lpc(x, a, zi=zi, block=block or 256,
+                                       axis_name=axis_name)
     if M == 1:
         y = first_order_recurrence(
             x if zi is None else x.at[..., 0].add(-a[..., 0, 0] * zi[..., 0]),
@@ -93,7 +99,8 @@ def _scan_sample_wise_lpc(x, a, zi=None):
 
 def blocked_sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,
                             zi: jnp.ndarray | None = None,
-                            block: int = 256) -> jnp.ndarray:
+                            block: int = 256,
+                            axis_name: str | None = None) -> jnp.ndarray:
     """EXACT block-parallel time-varying all-pole filter.
 
     Linearity lets each block's output be superposed from M+1 responses
@@ -104,11 +111,23 @@ def blocked_sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,
     matrices across blocks (n_blocks steps instead of T).  Serial depth
     drops from T to block + n_blocks with an (M+1)x flop multiplier —
     the right trade on TPU, where the per-sample scan is dispatch-bound.
+
+    With ``axis_name`` (inside shard_map over a time-sharded sequence)
+    the same decomposition extends across devices: each shard composes
+    its blocks' transition maps into one affine shard summary
+    (s_out = c + C s_in), the summaries are all-gathered (M + M^2
+    numbers per shard over ICI), and every shard folds its left
+    neighbors' maps to recover its exact entering state — the
+    cross-shard M-state handoff, with no warmup approximation.
     """
     T = x.shape[-1]
     M = a.shape[-1]
     C = block
     pad = (-T) % C
+    if pad and axis_name is not None:
+        raise ValueError(
+            "sharded blocked LPC needs block | local T: zero-padded "
+            "tail blocks would corrupt the cross-shard state summary.")
     if pad:
         xpad = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
         x = jnp.pad(x, xpad)
@@ -146,20 +165,43 @@ def blocked_sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,
     g = tail[..., 0]                                 # (..., n, M)
     G = tail[..., 1:]                                # (..., n, M, M)
 
-    s0 = (jnp.zeros((*batch, M), x.dtype) if zi is None
-          else zi.astype(x.dtype))
-
     gt = jnp.moveaxis(g, -2, 0)                      # (n, ..., M)
     Gt = jnp.moveaxis(G, -3, 0)                      # (n, ..., M, M)
 
-    def chain(s, inp):
+    # Prefix-compose the per-block affine maps s -> g + G s, carrying
+    # (c, C) such that the state entering block i is c_i + C_i s_start.
+    c0 = jnp.zeros((*batch, M), x.dtype)
+    C0 = jnp.broadcast_to(jnp.eye(M, dtype=x.dtype), (*batch, M, M))
+
+    def chain(cC, inp):
+        c, Cm = cC
         gk, Gk = inp
-        s_next = gk + jnp.einsum("...ij,...j->...i", Gk, s)
-        return s_next, s                             # emit incoming state
+        c2 = gk + jnp.einsum("...ij,...j->...i", Gk, c)
+        C2 = jnp.einsum("...ij,...jk->...ik", Gk, Cm)
+        return (c2, C2), (c, Cm)                     # emit incoming map
 
-    _, s_in = jax.lax.scan(chain, s0, (gt, Gt))      # (n, ..., M)
-    s_in = jnp.moveaxis(s_in, 0, -2)                 # (..., n, M)
+    (c_tot, C_tot), (c_in, C_in) = jax.lax.scan(chain, (c0, C0), (gt, Gt))
+    c_in = jnp.moveaxis(c_in, 0, -2)                 # (..., n, M)
+    C_in = jnp.moveaxis(C_in, 0, -3)                 # (..., n, M, M)
 
+    if axis_name is None:
+        s0 = (jnp.zeros((*batch, M), x.dtype) if zi is None
+              else zi.astype(x.dtype))
+    else:
+        # cross-shard handoff: fold the left shards' affine summaries
+        cs = jax.lax.all_gather(c_tot, axis_name)    # (S, ..., M)
+        Cs = jax.lax.all_gather(C_tot, axis_name)    # (S, ..., M, M)
+        me = jax.lax.axis_index(axis_name)
+        s0 = (jnp.zeros((*batch, M), x.dtype) if zi is None
+              else zi.astype(x.dtype))
+
+        def fold(k, s):
+            s2 = cs[k] + jnp.einsum("...ij,...j->...i", Cs[k], s)
+            return jnp.where(k < me, s2, s)
+
+        s0 = jax.lax.fori_loop(0, cs.shape[0], fold, s0)
+
+    s_in = c_in + jnp.einsum("...nij,...j->...ni", C_in, s0)
     y = y0 + jnp.einsum("...cm,...m->...c", H, s_in)
     y = y.reshape(*batch, n * C)
     return y[..., :T] if pad else y

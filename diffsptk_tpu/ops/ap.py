@@ -1,11 +1,13 @@
 """Band aperiodicity extraction: TANDEM-STRAIGHT and D4C
 (reference: diffsptk/modules/ap.py:30-670).
 
-TANDEM: per-band QMF decimation (lax.conv, stride 2) + 6-tap least-squares
-periodic fit via batched solves.  D4C: static/coarse aperiodicity from
-windowed waveforms + log-linear interpolation to fft_length/2+1 bins.
-All f0-dependent indexing is clipped dense gathers — static shapes
-throughout (XLA requirement).  No gradient flows through F0.
+TANDEM: per-band QMF decimation (lax.conv, stride 2), f0-dependent
+window extraction through the Pallas gather kernel
+(kernels/pallas_gather.py), and a 6-tap least-squares periodic fit via
+batched batch-minor Cholesky solves.  D4C: static/coarse aperiodicity
+from windowed waveforms + log-linear interpolation to fft_length/2+1
+bins (a static one-hot matmul).  Static shapes throughout (XLA
+requirement).  No gradient flows through F0.
 """
 
 from __future__ import annotations
@@ -86,13 +88,22 @@ def _tandem_pad(tmp_fs: float, segment_length: int) -> int:
 
 def _make_interp(coarse_axis: np.ndarray, fft_length: int,
                  sample_rate: int):
+    """Static interpolation design: one-hot selection matrix + weights.
+
+    The coarse->fine mapping is data-independent, so the per-bin
+    segment lookup is a (n_seg, n_bins) one-hot matmul — XLA lowers a
+    take_along_axis with these (static) indices to a scalarized gather
+    that costs ~10ms on the 513-bin WORLD grids.
+    """
     freq_axis = np.arange(fft_length // 2 + 1) * (sample_rate / fft_length)
     idx = np.searchsorted(coarse_axis, freq_axis) - 1
     idx = np.clip(idx, 0, len(coarse_axis) - 2)
     x0 = coarse_axis[:-1]
     dx = coarse_axis[1:] - x0
     weights = (freq_axis - np.take(x0, idx)) / np.take(dx, idx)
-    return idx, weights
+    select = np.zeros((len(coarse_axis) - 1, len(freq_axis)))
+    select[idx, np.arange(len(freq_axis))] = 1.0
+    return select, weights
 
 
 class AperiodicityExtractionByTANDEM:
@@ -120,9 +131,10 @@ class AperiodicityExtractionByTANDEM:
             coarse_axis = [sample_rate / 2 ** i
                            for i in range(self.n_band, 0, -1)]
             coarse_axis.insert(0, 0)
-            idx, weights = _make_interp(np.asarray(coarse_axis, np.float64),
-                                        fft_length, sample_rate)
-            self.interp_indices = jnp.asarray(idx)
+            select, weights = _make_interp(
+                np.asarray(coarse_axis, np.float64), fft_length,
+                sample_rate)
+            self.interp_select = to_device_array(select, dtype)
             self.interp_weights = to_device_array(weights, dtype)
 
         self.segment_length = [int(c * window_length_ms / 500 + 1.5)
@@ -137,11 +149,23 @@ class AperiodicityExtractionByTANDEM:
         self.window = to_device_array(window, dtype)
         self.window_sqrt = jnp.sqrt(self.window)
 
-    def __call__(self, x: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, f0: jnp.ndarray,
+                 n_offset=0, band_bases=None, band_fix=None,
+                 carry_fix=None) -> jnp.ndarray:
+        """``n_offset``: global index of local frame 0; ``band_bases``:
+        per-band origin of ``x``'s local block in global band
+        coordinates (both 0 for the unsharded path); ``band_fix``: an
+        optional ``(xb, i) -> xb`` hook applied to each band signal
+        (sharded callers overwrite halo samples beyond the global signal
+        edges with the boundary value, reproducing the elementwise index
+        clamp).  All window positions are global-frame-derived, so the
+        math is identical across shardings."""
+        if band_bases is None:
+            band_bases = [0] * self.n_band
         f0 = jax.lax.stop_gradient(
             jnp.where(f0 <= 32, self.default_f0, f0))
         B, N = f0.shape
-        time_axis = jnp.arange(N, dtype=f0.dtype) * (
+        time_axis = (jnp.arange(N) + n_offset).astype(f0.dtype) * (
             self.frame_period / self.sample_rate)
 
         bap = []
@@ -150,15 +174,27 @@ class AperiodicityExtractionByTANDEM:
             if i < self.n_band - 1:
                 hx = _conv_stride2(lx, self.hHP)
                 lx = _conv_stride2(lx, self.hLP)
+                if carry_fix is not None:
+                    # sharded callers re-mirror the halo beyond the
+                    # global signal edges at every decimation level:
+                    # the right-edge mirror center is a half-integer in
+                    # decimated coordinates, so a base-level reflect
+                    # fill does NOT equal the per-level reflect padding
+                    # the unsharded cascade applies
+                    hx = carry_fix(hx, i + 1)
+                    lx = carry_fix(lx, i + 1)
                 xb = hx
             else:
                 xb = lx
+            if band_fix is not None:
+                xb = band_fix(xb, i)
 
             tmp_fs = 2 * self.cutoff_list[i]
             pitch = tmp_fs / f0
             t0 = (pitch + 0.5).astype(jnp.int32)
             index_bias = (pitch * 0.5 + 0.5).astype(jnp.int32)
-            curr_pos = (time_axis * tmp_fs + 1.5).astype(jnp.int32)[None, :]
+            curr_pos = ((time_axis * tmp_fs + 1.5).astype(jnp.int32)
+                        - band_bases[i])[None, :]
             origin = curr_pos - index_bias                      # (B, N)
 
             J = self.segment_length[i]
@@ -206,11 +242,8 @@ class AperiodicityExtractionByTANDEM:
             y = jnp.log(ap)
             y0 = y[..., :-1]
             dy = y[..., 1:] - y0
-            index = jnp.broadcast_to(self.interp_indices[None, None, :],
-                                     (B, N, self.interp_indices.shape[-1]))
-            yi = (jnp.take_along_axis(dy, index, axis=-1)
-                  * self.interp_weights
-                  + jnp.take_along_axis(y0, index, axis=-1))
+            yi = ((dy @ self.interp_select) * self.interp_weights
+                  + y0 @ self.interp_select)
             ap = jnp.exp(yi)
         return ap
 
@@ -266,8 +299,9 @@ class AperiodicityExtractionByD4C:
             coarse_axis = np.arange(n_ap + 2, dtype=np.float64) \
                 * frequency_interval
             coarse_axis[-1] = sample_rate / 2
-            idx, weights = _make_interp(coarse_axis, fft_length, sample_rate)
-            self.interp_indices = jnp.asarray(idx)
+            select, weights = _make_interp(coarse_axis, fft_length,
+                                           sample_rate)
+            self.interp_select = to_device_array(select, dtype)
             self.interp_weights = to_device_array(weights, dtype)
 
         self.spec_love = Spectrum(self.fft_length_love)
@@ -355,12 +389,8 @@ class AperiodicityExtractionByD4C:
             y = jnp.pad(y, pad + [(0, 1)], constant_values=-eps)
             y0 = y[..., :-1]
             dy = y[..., 1:] - y0
-            B, N = f0.shape[0], f0.shape[1]
-            index = jnp.broadcast_to(self.interp_indices[None, None, :],
-                                     (B, N, self.interp_indices.shape[-1]))
-            y = (jnp.take_along_axis(dy, index, axis=-1)
-                 * self.interp_weights
-                 + jnp.take_along_axis(y0, index, axis=-1))
+            y = ((dy @ self.interp_select) * self.interp_weights
+                 + y0 @ self.interp_select)
         aperiodicity = 10 ** (y / 20)
 
         if 0 < self.threshold:

@@ -56,14 +56,16 @@ class SpectrumExtractionByCheapTrick:
                              out_format="power")
         self.ramp = to_device_array(np.arange(fft_length), dtype)
 
-    def __call__(self, x: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, f0: jnp.ndarray,
+                 frames: jnp.ndarray | None = None) -> jnp.ndarray:
         f0 = jax.lax.stop_gradient(
             jnp.where(f0 <= self.f_min, self.default_f0, f0))[..., None]
         f0 = jnp.minimum(f0, self.f0_ceil)
 
         waveform = get_windowed_waveform(
             x, f0, 3, 0, self.frame_period, self.sample_rate,
-            self.fft_length, "hanning", True, 1e-12, self.ramp)
+            self.fft_length, "hanning", True, 1e-12, self.ramp,
+            frames=frames)
 
         power_spectrum = self.spec(waveform)
         dc_bins = int(self.f0_ceil / (self.sample_rate / self.fft_length)) + 2
@@ -80,7 +82,7 @@ class SpectrumExtractionByCheapTrick:
             jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
                                       power_spectrum.shape,
                                       power_spectrum.dtype))
-            * jnp.finfo(x.dtype).eps)
+            * jnp.finfo(power_spectrum.dtype).eps)
         power_spectrum = jnp.maximum(power_spectrum, 1e-30)
 
         one_sided = self.fft_length // 2 + 1

@@ -94,7 +94,8 @@ def get_minimum_phase_spectrum(spectrum):
 
 def get_windowed_waveform(x, f0, window_length_ratio, bias_ratio,
                           frame_period, sample_rate, fft_length, window_type,
-                          normalize_window, eps, ramp, key=None):
+                          normalize_window, eps, ramp, key=None,
+                          frames=None):
     half_window_length = jnp.round(
         window_length_ratio / 2 * sample_rate / f0)
     bias = jnp.round(bias_ratio * sample_rate / f0)
@@ -113,9 +114,11 @@ def get_windowed_waveform(x, f0, window_length_ratio, bias_ratio,
     if normalize_window:
         window = window / jnp.linalg.norm(window, axis=-1, keepdims=True)
 
-    waveform = Frame._forward(
-        x, frame_length=fft_length, frame_period=frame_period, center=True,
-        zmean=False, mode="replicate") * window
+    if frames is None:
+        frames = Frame._forward(
+            x, frame_length=fft_length, frame_period=frame_period,
+            center=True, zmean=False, mode="replicate")
+    waveform = frames * window
     if eps > 0:
         if key is None:
             key = jax.random.PRNGKey(0)

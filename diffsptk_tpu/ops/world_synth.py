@@ -21,6 +21,26 @@ from ..core import BaseNonFunctionalOp, to_device_array
 from .world_common import TAU, get_minimum_phase_spectrum
 
 
+_PHASE_BITS = 22
+_PHASE_SCALE = float(1 << _PHASE_BITS)
+_PHASE_MASK = (1 << _PHASE_BITS) - 1
+
+
+def phase_units(rate: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample phase increments in fixed-point units (TAU = 2^22)."""
+    return jnp.round(rate * (_PHASE_SCALE / TAU)).astype(jnp.int32)
+
+
+def units_to_phase(units: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Wrapped phase in [0, TAU) from (possibly overflowed) unit sums."""
+    return (units & _PHASE_MASK).astype(dtype) * (TAU / _PHASE_SCALE)
+
+
+def _wrap_phase_fixed_point(rate: jnp.ndarray) -> jnp.ndarray:
+    units = jnp.cumsum(phase_units(rate), axis=-1)    # wraps mod 2^32
+    return units_to_phase(units, rate.dtype)
+
+
 class WorldSynthesis(BaseNonFunctionalOp):
     """(f0 (B?, N), aperiodicity (B?, N, D), envelope (B?, N, D)) ->
     waveform (B?, N*P)."""
@@ -49,6 +69,77 @@ class WorldSynthesis(BaseNonFunctionalOp):
         dc = dc / (2 * np.sum(dc))
         self.dc_remover = to_device_array(
             np.concatenate([dc, dc[::-1]]), dtype)
+
+    def _slot_noise(self, time_index: jnp.ndarray, span: int,
+                    batch_offset, length: int, dtype) -> jnp.ndarray:
+        """Per-slot Gaussian noise keyed by (global batch row, pulse
+        position): a counter-based stream that is invariant to how the
+        slot table is partitioned across devices.  ``span`` is the
+        global signal length (the counter stride between batch rows);
+        ``batch_offset`` the global index of local row 0.
+        """
+        B = time_index.shape[0]
+        base = jax.random.PRNGKey(self.seed)
+        ctr = ((jnp.arange(B, dtype=jnp.int32)[:, None] + batch_offset)
+               * jnp.int32(span) + time_index)
+        keys = jax.vmap(jax.vmap(lambda c: jax.random.fold_in(base, c)))(
+            ctr)
+        return jax.vmap(jax.vmap(
+            lambda k: jax.random.normal(k, (length,), dtype)))(keys)
+
+    def _slot_responses(self, env, apr, vuv, time_shift, noise_size,
+                        valid, time_index_global, span: int,
+                        batch_offset) -> jnp.ndarray:
+        """Per-slot periodic + aperiodic responses (B, Pmax, L), already
+        masked by slot validity — the sharding-independent core of the
+        synthesis (reference: world_synth.py:251-295)."""
+        L = self.fft_length
+        H = L // 2
+        D = env.shape[-1]
+
+        # GetPeriodicResponse() with fractional time shift
+        weight = 1 - apr
+        spectrum = get_minimum_phase_spectrum(weight * env)
+        coeff = TAU * self.sample_rate / L * time_shift
+        phase = jnp.exp(-1j * self.ramp[:D] * coeff[..., None])
+        periodic = jnp.fft.hfft(spectrum * phase)
+        periodic = jnp.concatenate(
+            [periodic[..., :1], jnp.flip(periodic[..., 1:], -1)], axis=-1)
+        periodic = jnp.fft.fftshift(periodic, axes=-1)
+
+        # RemoveDCComponent()
+        dc_component = jnp.sum(periodic[..., H:], axis=-1, keepdims=True)
+        dd = -dc_component * self.dc_remover
+        periodic = jnp.concatenate(
+            (dd[..., :H], periodic[..., H:] + dd[..., H:]), axis=-1)
+        periodic = periodic * (0.5 < vuv)
+
+        # GetNoiseSpectrum() — noise is keyed per slot by the pulse's
+        # global sample position (batch row folded in), so any (dp, tp)
+        # sharding of the synthesis reproduces the identical stream
+        # (the reference consumes one sequential randn stream, which
+        # would make sharded and unsharded outputs diverge).
+        noise = self._slot_noise(time_index_global, span=span,
+                                 batch_offset=batch_offset,
+                                 length=periodic.shape[-1],
+                                 dtype=periodic.dtype)
+        mask = self.ramp < noise_size
+        noise = noise * mask
+        avg = jnp.sum(noise, axis=-1, keepdims=True) / jnp.where(
+            noise_size == 0, 1, noise_size)
+        noise = (noise - avg) * mask
+        noise_spectrum = jnp.fft.rfft(noise)
+
+        # GetAperiodicResponse()
+        weight = jnp.where(0 < vuv, apr, 1.0)
+        spectrum = get_minimum_phase_spectrum(weight * env) * noise_spectrum
+        aperiodic = jnp.fft.hfft(spectrum)
+        aperiodic = jnp.concatenate(
+            [aperiodic[..., :1], jnp.flip(aperiodic[..., 1:], -1)], axis=-1)
+        aperiodic = jnp.fft.fftshift(aperiodic, axes=-1)
+
+        response = (periodic * jnp.sqrt(noise_size) + aperiodic) / L
+        return response * valid[..., None]
 
     def __call__(self, f0, ap, sp, out_length: int | None = None):
         one_d = f0.ndim == 1
@@ -87,10 +178,16 @@ class WorldSynthesis(BaseNonFunctionalOp):
         interp_vuv = upsample(coarse_vuv) > 0.5
         interp_f0 = jnp.where(interp_vuv, interp_f0, self.default_f0)
 
-        # GetPulseLocationsForTimeBase() — fixed slot table.
-        total_phase = jnp.cumsum(TAU / self.sample_rate * interp_f0,
-                                 axis=-1)
-        wrap_phase = jnp.mod(total_phase, TAU)
+        # GetPulseLocationsForTimeBase() — fixed slot table.  The phase
+        # integral runs in fixed point (TAU = 2^22 units): an f32 cumsum
+        # loses ~3 radians over a second of audio (the total phase grows
+        # to ~1e5 rad), scattering pulse positions, while int32 addition
+        # wraps exactly mod 2^32 and 2^22 | 2^32 makes the wrapped phase
+        # exact (quantization error ~1.5e-6 rad/sample, unbiased).  It
+        # is also bitwise independent of summation order — the property
+        # the sharded synthesis (parallel/world.py) relies on.
+        wrap_phase = _wrap_phase_fixed_point(
+            TAU / self.sample_rate * interp_f0)
         dphase = jnp.abs(jnp.diff(wrap_phase, axis=-1))   # (B, T-1)
         pulse_mask = jnp.pi < dphase
 
@@ -135,50 +232,17 @@ class WorldSynthesis(BaseNonFunctionalOp):
         env = w_lo * sp[bidx, f_floor] + w_hi * sp[bidx, f_ceil]
         apr = (w_lo * ap[bidx, f_floor] + w_hi * ap[bidx, f_ceil]) ** 2
 
-        # GetPeriodicResponse() with fractional time shift
-        weight = 1 - apr
-        spectrum = get_minimum_phase_spectrum(weight * env)
-        coeff = TAU * self.sample_rate / L * time_shift
-        phase = jnp.exp(-1j * self.ramp[:D] * coeff[..., None])
-        periodic = jnp.fft.hfft(spectrum * phase)
-        periodic = jnp.concatenate(
-            [periodic[..., :1], jnp.flip(periodic[..., 1:], -1)], axis=-1)
-        periodic = jnp.fft.fftshift(periodic, axes=-1)
-
-        # RemoveDCComponent()
-        dc_component = jnp.sum(periodic[..., H:], axis=-1, keepdims=True)
-        dd = -dc_component * self.dc_remover
-        periodic = jnp.concatenate(
-            (dd[..., :H], periodic[..., H:] + dd[..., H:]), axis=-1)
-        periodic = periodic * (0.5 < vuv)
-
-        # GetNoiseSpectrum()
         noise_size = jnp.diff(time_index, axis=-1,
                               append=time_index[:, -1:])
         noise_size = jnp.clip(noise_size, min=0)[..., None]
-        key = jax.random.PRNGKey(self.seed)
-        noise = jax.random.normal(key, periodic.shape, periodic.dtype)
-        mask = self.ramp < noise_size
-        noise = noise * mask
-        avg = jnp.sum(noise, axis=-1, keepdims=True) / jnp.where(
-            noise_size == 0, 1, noise_size)
-        noise = (noise - avg) * mask
-        noise_spectrum = jnp.fft.rfft(noise)
-
-        # GetAperiodicResponse()
-        weight = jnp.where(0 < vuv, apr, 1.0)
-        spectrum = get_minimum_phase_spectrum(weight * env) * noise_spectrum
-        aperiodic = jnp.fft.hfft(spectrum)
-        aperiodic = jnp.concatenate(
-            [aperiodic[..., :1], jnp.flip(aperiodic[..., 1:], -1)], axis=-1)
-        aperiodic = jnp.fft.fftshift(aperiodic, axes=-1)
+        response = self._slot_responses(
+            env, apr, vuv, time_shift, noise_size, valid,
+            time_index_global=time_index, span=T, batch_offset=0)
 
         # Synthesis(): masked overlap-add through the Pallas OLA kernel
         # (VMEM-resident output row, per-slot dynamic-slice adds);
         # windowed scatter-add fallback off-TPU.
         from ..kernels.pallas_ola import overlap_add
-        response = (periodic * jnp.sqrt(noise_size) + aperiodic) / L
-        response = response * valid[..., None]
         margin = (L + P - 1) // P * P
         T_ = T + margin
         y = overlap_add(time_index, response, T_)

@@ -42,6 +42,13 @@ def exchange_halo(x: jnp.ndarray, left: int, right: int, axis_name: str,
             rep = [1] * x.ndim
             rep[axis] = recv.shape[axis]
             return jnp.tile(take(x, sl), rep)
+        if pad_mode == "reflect":
+            # mirror about the global edge, excluding the edge sample
+            # (matches jnp.pad mode="reflect")
+            w = recv.shape[axis]
+            sl = (slice(1, w + 1) if side == "left"
+                  else slice(x.shape[axis] - w - 1, x.shape[axis] - 1))
+            return jnp.flip(take(x, sl), axis)
         raise ValueError(f"pad_mode {pad_mode} is not supported.")
 
     parts = []

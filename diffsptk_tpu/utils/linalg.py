@@ -74,7 +74,10 @@ def plateau(length: int, first: float, middle: float, last: float | None = None,
     return x
 
 
-_SPD_UNROLL_MAX = 40
+# Measured crossover on v5e: batch-minor unroll wins 3x at n=6 but
+# loses ~30% to the fori_loop form at n=26 (the unrolled substitution
+# sweeps grow O(n^2) dependent scalar-vector ops).
+_SPD_UNROLL_MAX = 12
 
 
 def _spd_solve_batch_minor(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

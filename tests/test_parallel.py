@@ -125,3 +125,64 @@ def test_data_parallel_gmm_matches_single():
 
     with pytest.raises(ValueError, match="divisible"):
         dp(jnp.asarray(x[:127]))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_world_matches_single(mesh_shape, data_wav):
+    """Sharded WORLD chain (halo'd YIN/TANDEM/CheapTrick analysis, global
+    phase prefix + OLA spill exchange in synthesis) matches the
+    single-device chain; noise is position-keyed so the streams agree."""
+    from jax.sharding import Mesh
+
+    from diffsptk_tpu.models.world_vocoder import WorldVocoder
+    from diffsptk_tpu.parallel.world import ShardedWorldVocoder
+
+    x = jnp.asarray(np.asarray(data_wav))
+    xb = jnp.tile(x[None, :], (2, 1))
+    dp, tp = mesh_shape
+    mesh = Mesh(np.array(jax.devices()[:dp * tp]).reshape(dp, tp),
+                ("dp", "tp"))
+    single = WorldVocoder(80, 16000, 1024)
+    sharded = ShardedWorldVocoder(mesh, 80, 16000, 1024)
+
+    f0_ref, ap_ref, sp_ref = single.analyze(xb)
+    f0, ap, sp = jax.jit(sharded.analyze)(xb)
+    U.assert_close(np.asarray(f0), np.asarray(f0_ref), rtol=1e-6, atol=1e-8)
+    U.assert_close(np.asarray(ap), np.asarray(ap_ref), rtol=1e-4, atol=1e-6)
+    U.assert_close(np.asarray(sp), np.asarray(sp_ref), rtol=1e-4, atol=1e-6)
+
+    y_ref = single.synthesize(f0_ref, ap_ref, sp_ref)
+    y = jax.jit(sharded.synthesize)(f0, ap, sp)
+    U.assert_close(np.asarray(y), np.asarray(y_ref), rtol=1e-4,
+                   atol=1e-6 * float(np.abs(np.asarray(y_ref)).max()))
+
+    y2 = jax.jit(sharded.analysis_synthesis)(xb)
+    assert y2.shape == xb.shape
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_poledf_matches_single(mesh_shape):
+    """Sequence-parallel all-pole recurrence is exact: the cross-shard
+    M-state handoff (all-gathered affine block summaries) reproduces the
+    single-device blocked filter."""
+    from jax.sharding import Mesh
+
+    from diffsptk_tpu.ops.poledf import AllPoleDigitalFilter
+    from diffsptk_tpu.parallel.filters import ShardedAllPoleDigitalFilter
+
+    M, Pd, T, B = 6, 80, 6400, 2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T)))
+    # stable-ish coefficients: small, smooth
+    a = jnp.asarray(np.concatenate(
+        [np.ones((B, T // Pd, 1)),
+         0.2 * rng.standard_normal((B, T // Pd, M)) / np.arange(1, M + 1)],
+        axis=-1))
+    dp, tp = mesh_shape
+    mesh = Mesh(np.array(jax.devices()[:dp * tp]).reshape(dp, tp),
+                ("dp", "tp"))
+    single = AllPoleDigitalFilter(M, Pd)
+    sharded = ShardedAllPoleDigitalFilter(mesh, M, Pd)
+    y_ref = single(x, a)
+    y = jax.jit(sharded)(x, a)
+    U.assert_close(np.asarray(y), np.asarray(y_ref), rtol=1e-8, atol=1e-10)

@@ -142,10 +142,11 @@ class MultiStageFIRFilter:
         if M + 1 > 32:
             # Every Taylor stage filters with the same coefficients, so
             # the per-frame coefficient spectrum is shared across stages.
+            from ..kernels import mxu_fft
             from .zerodf import _next_pow2, zerodf_fft
             P = self.frame_period
             nfft = _next_pow2(2 * P + M + 1)
-            c_spec = jnp.fft.rfft(c, n=nfft)
+            c_spec = mxu_fft.rfft(c, nfft)
             advance = self.zerodf.padding[1]
             y = x * a[0]
             for i in range(1, a.shape[0]):

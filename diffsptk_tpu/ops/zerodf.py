@@ -54,10 +54,11 @@ def zerodf_fft(x: jnp.ndarray, b: jnp.ndarray, frame_period: int,
     xp = jnp.pad(x, pad)
     idx = np.arange(N)[:, None] * P + np.arange(L)[None, :]
     ctx = xp[..., idx]                                   # (..., N, 2P+M)
-    X = jnp.fft.rfft(ctx, n=nfft)
+    from ..kernels import mxu_fft
+    X = mxu_fft.rfft(ctx, nfft)
     if b_spec is None:
-        b_spec = jnp.fft.rfft(b, n=nfft)
-    U = jnp.fft.irfft(X * b_spec, n=nfft)[..., M:M + 2 * P]
+        b_spec = mxu_fft.rfft(b, nfft)
+    U = mxu_fft.irfft(X * b_spec, nfft)[..., M:M + 2 * P]
     lo = U[..., P:]                                      # b_n on frame n
     hi = jnp.concatenate([U[..., 1:, :P], U[..., -1:, P:]], axis=-2)
     lam = jnp.asarray(np.arange(P) / P, x.dtype)

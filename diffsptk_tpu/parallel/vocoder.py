@@ -97,7 +97,8 @@ class ShardedMelCepstralVocoder:
         # first filter.
         c_ext = exchange_halo(c, 0, 1, self.tp, axis=-2, pad_mode="edge")
         c0_ext = exchange_halo(c0, 0, 1, self.tp, axis=-2, pad_mode="edge")
-        c_spec = jnp.fft.rfft(c_ext, n=nfft)   # (..., Nl+1, nfft/2+1)
+        from ..kernels import mxu_fft
+        c_spec = mxu_fft.rfft(c_ext, nfft)     # (..., Nl+1, nfft/2+1)
 
         lam = jnp.asarray(np.arange(Pd) / Pd, x_blk.dtype)
         idx = np.arange(n_local + 1)[:, None] * Pd + np.arange(2 * Pd + M)
@@ -105,8 +106,8 @@ class ShardedMelCepstralVocoder:
         def stage(xin):
             x_ext = exchange_halo(xin, Pd + M, Pd, self.tp)
             ctx = x_ext[..., idx]              # (..., Nl+1, 2P+M)
-            U = jnp.fft.irfft(jnp.fft.rfft(ctx, n=nfft) * c_spec,
-                              n=nfft)[..., M:M + 2 * Pd]
+            U = mxu_fft.irfft(mxu_fft.rfft(ctx, nfft) * c_spec,
+                              nfft)[..., M:M + 2 * Pd]
             lo = U[..., :-1, Pd:]
             hi = U[..., 1:, :Pd]
             y = lo * (1 - lam) + hi * lam

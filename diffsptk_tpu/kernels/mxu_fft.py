@@ -95,6 +95,39 @@ def irfft_mxu(X: jnp.ndarray, nfft: int) -> jnp.ndarray:
     return out.reshape(*X.shape[:-1], nfft)
 
 
+@functools.lru_cache(maxsize=None)
+def _cos_plan(nfft: int):
+    H = nfft // 2
+    t = np.arange(H + 1)
+    C = np.cos(2 * np.pi * np.outer(t, t) / nfft).astype(np.float32)
+    w = np.ones(H + 1, np.float32)
+    w[1:H] = 2.0
+    return C, (C * w[:, None] / nfft).astype(np.float32)
+
+
+def rfft_real(c: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """Re(rfft(c, nfft)) for real c with len <= nfft/2+1: one cosine
+    matmul on the MXU (the mcep Newton loop needs only the real part;
+    reference mcep.py:211)."""
+    H = nfft // 2
+    if not use_mxu(c.dtype, nfft):
+        return jnp.fft.rfft(c, n=nfft).real
+    C, _ = _cos_plan(nfft)
+    L = c.shape[-1]
+    return jnp.einsum("...t,tk->...k", c, C[:L],
+                      precision=_PRECISION)
+
+
+def irfft_real(d: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """First nfft/2+1 samples of irfft(d, nfft) for a REAL spectrum d
+    (even sequence): one cosine matmul on the MXU."""
+    H = nfft // 2
+    if not use_mxu(d.dtype, nfft):
+        return jnp.fft.irfft(d, n=nfft)[..., :H + 1]
+    _, Ci = _cos_plan(nfft)
+    return jnp.einsum("...k,kt->...t", d, Ci, precision=_PRECISION)
+
+
 def use_mxu(dtype, nfft: int) -> bool:
     if not (_MIN_N <= nfft <= _MAX_N and (nfft & (nfft - 1)) == 0):
         return False

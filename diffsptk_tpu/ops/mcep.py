@@ -115,13 +115,13 @@ class MelCepstralAnalysis(BaseOp):
         scale[H] = 0.5
         mc = freqt(c[..., : H + 1] * jnp.asarray(scale, c.dtype))
 
+        from ..kernels import mxu_fft
         for _ in range(n_iter):
             c = ifreqt(mc)
-            d = jnp.fft.rfft(c, n=fft_length).real
+            d = mxu_fft.rfft_real(c, fft_length)
             d = jnp.exp(log_x - d - d)
 
-            rd = jnp.fft.irfft(d)
-            rt = rfreqt(rd[..., : H + 1])
+            rt = rfreqt(mxu_fft.irfft_real(d, fft_length))
             r = rt[..., : M + 1]
             ra = r - alpha_vector
 

@@ -8,6 +8,7 @@ All matrices are host-designed; the fixed-trip loop jits into one graph.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -134,8 +135,9 @@ class MelGeneralizedCepstralAnalysis(BaseNonFunctionalOp):
 
             b = jnp.concatenate(
                 (jnp.zeros_like(b1[..., :1]), b1), axis=-1)
+            from ..kernels import mxu_fft
             c = b @ self.cfreqt
-            C = jnp.fft.rfft(c, n=self.fft_length)
+            C = mxu_fft.rfft(c, self.fft_length)
 
             if gamma == -1:
                 p_re = x
@@ -151,9 +153,11 @@ class MelGeneralizedCepstralAnalysis(BaseNonFunctionalOp):
                 pw = x * E / D
                 qw = pw / D
                 p = jnp.fft.irfft(pw) @ self.pfreqt
-                q = (jnp.fft.irfft(qw * (XX - YY) + 1j * (qw * 2 * X * Y))
-                     @ self.pfreqt)
-                r = (jnp.fft.irfft(pw * X + 1j * (pw * Y)) @ self.rfreqt)
+                q = (mxu_fft.irfft(
+                    jax.lax.complex(qw * (XX - YY), qw * 2 * X * Y),
+                    self.fft_length) @ self.pfreqt)
+                r = (mxu_fft.irfft(jax.lax.complex(pw * X, pw * Y),
+                                   self.fft_length) @ self.rfreqt)
 
             p = p @ self.ptrans
             q = q @ self.qtrans

@@ -139,6 +139,15 @@ def use_mxu(dtype, nfft: int) -> bool:
         return False
 
 
+def hfft(a: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """FFT of the hermitian-symmetric signal whose half-spectrum is
+    ``a`` (..., nfft/2+1) -> (..., nfft) real; equals
+    irfft(conj(a)) * nfft."""
+    if use_mxu(a.dtype, nfft):
+        return irfft_mxu(jnp.conj(a), nfft) * nfft
+    return jnp.fft.hfft(a, n=nfft)
+
+
 def rfft(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """rfft with automatic MXU dispatch (TPU float32)."""
     if use_mxu(x.dtype, nfft):

@@ -49,6 +49,11 @@ def _plan(nfft: int):
 def _cfft(z: jnp.ndarray, nfft: int, inverse: bool) -> jnp.ndarray:
     """Length-n complex FFT of (..., n) via two matmul stages."""
     n, n1, n2, W1, W2, Tw, _ = _plan(nfft)
+    # keep the transform out of its producers' fusions: the axon
+    # backend miscompiles certain producer+matmul fusions of this
+    # pattern (observed: batch-width-dependent garbage in the WORLD
+    # synthesis graph at B=8; each piece is bit-correct in isolation)
+    z = jax.lax.optimization_barrier(z)
     if inverse:
         W1, W2, Tw = np.conj(W1), np.conj(W2), np.conj(Tw)
     batch = z.shape[:-1]
@@ -74,7 +79,10 @@ def rfft_mxu(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
     L = x.shape[-1]
     if L < nfft:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nfft - L)])
-    z = jax.lax.complex(x[..., 0::2], x[..., 1::2])
+    # even/odd split via reshape (a stride-2 lane slice miscompiles in
+    # some fusion contexts on the axon backend)
+    xr = x.reshape(*x.shape[:-1], n, 2)
+    z = jax.lax.complex(xr[..., 0], xr[..., 1])
     Z = _cfft(z, nfft, inverse=False)
     Zf = jnp.concatenate([Z, Z[..., :1]], -1)          # Z[n] = Z[0]
     Zc = jnp.conj(jnp.flip(Zf, -1))                    # conj(Z[n-k])
@@ -86,6 +94,13 @@ def rfft_mxu(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
 def irfft_mxu(X: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """(..., nfft//2 + 1) complex -> (..., nfft) real."""
     n, _, _, _, _, _, Wr = _plan(nfft)
+    # rfft-format semantics (numpy/XLA): the DC and Nyquist bins are
+    # real by definition — their imaginary parts are discarded.  The
+    # WORLD synthesis feeds phase-shifted spectra whose Nyquist bin is
+    # complex, so skipping this produces O(Im X[n] / n) errors.
+    ends = np.zeros(n + 1, np.float32)
+    ends[0] = ends[n] = 1.0
+    X = jnp.where(ends.astype(bool), jnp.real(X).astype(X.dtype), X)
     Xc = jnp.conj(jnp.flip(X, -1))                     # conj(X[n-k])
     E = (X + Xc) * 0.5
     O = (X - Xc) * 0.5 * jnp.conj(Wr)

@@ -73,9 +73,8 @@ def dc_correction(power_spectrum, f0, sample_rate, fft_length, ramp,
     h = (j == b0) * (1 - f) + (j == b0 + 1) * f     # (..., Lh)
 
     nfft = 1 << int(np.ceil(np.log2(D + Lh)))
-    from ..kernels import mxu_fft
-    C = mxu_fft.irfft(mxu_fft.rfft(power_spectrum, nfft)
-                      * mxu_fft.rfft(jnp.flip(h, -1), nfft), nfft)
+    C = jnp.fft.irfft(jnp.fft.rfft(power_spectrum, n=nfft)
+                      * jnp.fft.rfft(jnp.flip(h, -1), n=nfft), n=nfft)
     corrected = jnp.flip(C[..., :Lh], -1)
     if Lh < D:
         pad = [(0, 0)] * (corrected.ndim - 1) + [(0, D - Lh)]
@@ -85,15 +84,12 @@ def dc_correction(power_spectrum, f0, sample_rate, fft_length, ramp,
 
 def get_minimum_phase_spectrum(spectrum):
     L = spectrum.shape[-1]
-    from ..kernels import mxu_fft
     nfft = 2 * (L - 1)
-    # irfft of a real (even) spectrum: only the leading half is used by
-    # the fold below, and it is one cosine matmul
-    cepstrum = mxu_fft.irfft_real(0.5 * jnp.log(spectrum), nfft)
+    cepstrum = jnp.fft.irfft(0.5 * jnp.log(spectrum), n=nfft)
     cepstrum = jnp.concatenate(
         (cepstrum[..., :1], 2 * cepstrum[..., 1:L - 1],
          cepstrum[..., L - 1:L]), axis=-1)
-    C = mxu_fft.rfft(cepstrum, nfft)
+    C = jnp.fft.rfft(cepstrum, n=nfft)
     return jnp.exp(C.real) * jnp.exp(1j * C.imag)
 
 
@@ -180,9 +176,8 @@ def linear_smoothing(power_spectrum, width, sample_rate, fft_length, ramp,
             - (j == b1) * (1 - f1) - (j == b1 + 1) * f1)
 
     nfft = 1 << int(np.ceil(np.log2(segment.shape[-1] + K)))
-    from ..kernels import mxu_fft
-    S = mxu_fft.rfft(segment, nfft)
+    S = jnp.fft.rfft(segment, n=nfft)
     # correlation: conv(segment, flip(kern)) read at offset K-1
-    Kf = mxu_fft.rfft(jnp.flip(kern, -1), nfft)
-    out = mxu_fft.irfft(S * Kf, nfft)[..., K - 1:K - 1 + one_sided]
+    Kf = jnp.fft.rfft(jnp.flip(kern, -1), n=nfft)
+    out = jnp.fft.irfft(S * Kf, n=nfft)[..., K - 1:K - 1 + one_sided]
     return out / width

@@ -102,11 +102,10 @@ class WorldSynthesis(BaseNonFunctionalOp):
         spectrum = get_minimum_phase_spectrum(weight * env)
         coeff = TAU * self.sample_rate / L * time_shift
         phase = jnp.exp(-1j * self.ramp[:D] * coeff[..., None])
-        from ..kernels import mxu_fft
-        periodic = mxu_fft.hfft(spectrum * phase, L)
-        periodic = jnp.concatenate(
-            [periodic[..., :1], jnp.flip(periodic[..., 1:], -1)], axis=-1)
-        periodic = jnp.fft.fftshift(periodic, axes=-1)
+        # hfft followed by the index mirror is algebraically
+        # irfft(a) * L: h[-t] = L*irfft(conj a)[-t] = L*irfft(a)[t]
+        periodic = jnp.fft.fftshift(
+            jnp.fft.irfft(spectrum * phase, n=L) * L, axes=-1)
 
         # RemoveDCComponent()
         dc_component = jnp.sum(periodic[..., H:], axis=-1, keepdims=True)
@@ -129,15 +128,13 @@ class WorldSynthesis(BaseNonFunctionalOp):
         avg = jnp.sum(noise, axis=-1, keepdims=True) / jnp.where(
             noise_size == 0, 1, noise_size)
         noise = (noise - avg) * mask
-        noise_spectrum = mxu_fft.rfft(noise, L)
+        noise_spectrum = jnp.fft.rfft(noise, n=L)
 
         # GetAperiodicResponse()
         weight = jnp.where(0 < vuv, apr, 1.0)
         spectrum = get_minimum_phase_spectrum(weight * env) * noise_spectrum
-        aperiodic = mxu_fft.hfft(spectrum, L)
-        aperiodic = jnp.concatenate(
-            [aperiodic[..., :1], jnp.flip(aperiodic[..., 1:], -1)], axis=-1)
-        aperiodic = jnp.fft.fftshift(aperiodic, axes=-1)
+        aperiodic = jnp.fft.fftshift(
+            jnp.fft.irfft(spectrum, n=L) * L, axes=-1)
 
         response = (periodic * jnp.sqrt(noise_size) + aperiodic) / L
         return response * valid[..., None]

@@ -2,10 +2,14 @@
 (reference: diffsptk/modules/{gmm,lbg,pca,ica,nmf}.py).
 
 Design: each learner's inner step (E-step posteriors, Lloyd assignment,
-multiplicative update) is a jitted pure function over the full data array;
-the convergence loop runs on host.  The reference's DataLoader plumbing is
-deliberately dropped (SURVEY.md §7): batching on TPU means sharding the data
-axis over the mesh — E-step statistics are psum-friendly sums.
+multiplicative update) is a jitted pure function; the convergence loop runs
+on host.  Streaming replaces the reference's DataLoader plumbing
+(diffsptk/utils/private.py:167-181): every per-iteration reduction is a
+plain sum of per-chunk sufficient statistics, so ``batch_size=`` chunks a
+large array (or the input may already be a list/iterator of arrays — the
+JAX-native DataLoader analog) and the accumulators are identical to the
+full-batch result up to float summation order.  The same statistics are
+psum-friendly, which is what ``parallel.DataParallelGMM`` exploits.
 """
 
 from __future__ import annotations
@@ -18,6 +22,26 @@ import numpy as np
 
 from ..core import BaseLearnerOp, default_dtype
 from .vq import VectorQuantization
+
+
+def as_chunks(x, batch_size):
+    """Normalize learner input to a list of 2D array chunks.
+
+    ``x`` may be a single array (optionally chunked into ``batch_size``
+    rows), or any iterable of arrays (already-batched data larger than a
+    single array).  Mirrors the contract of the reference's
+    ``to_dataloader`` (diffsptk/utils/private.py:167-181).
+    """
+    if isinstance(x, (jnp.ndarray, np.ndarray)):
+        x = jnp.asarray(x)
+        if batch_size is None:
+            return [x]
+        return [x[i:i + batch_size] for i in range(0, x.shape[0],
+                                                   batch_size)]
+    chunks = [jnp.asarray(c) for c in x]
+    if not chunks:
+        raise ValueError("Input data is empty.")
+    return chunks
 
 
 class GaussianMixtureModeling(BaseLearnerOp):
@@ -46,6 +70,8 @@ class GaussianMixtureModeling(BaseLearnerOp):
         if alpha != 0 and ubm is None:
             raise ValueError("ubm must be provided when alpha is not 0.")
 
+        if batch_size is not None and batch_size <= 0:
+            raise ValueError("batch_size must be positive.")
         self.order = order
         self.n_mixture = n_mixture
         self.n_iter = n_iter
@@ -53,6 +79,7 @@ class GaussianMixtureModeling(BaseLearnerOp):
         self.weight_floor = weight_floor
         self.var_floor = var_floor
         self.alpha = alpha
+        self.batch_size = batch_size
 
         L = order + 1
         if block_size is None:
@@ -100,16 +127,24 @@ class GaussianMixtureModeling(BaseLearnerOp):
 
     def warmup(self, x, **lbg_params) -> None:
         """Initialize the mean vectors by LBG clustering."""
+        chunks = as_chunks(x, self.batch_size)
+        lbg_params.setdefault("batch_size", self.batch_size)
         lbg = LindeBuzoGrayAlgorithm(self.order, self.n_mixture,
                                      **lbg_params)
-        codebook, indices, _ = lbg(x, return_indices=True)
+        codebook, indices, _ = lbg(chunks, return_indices=True)
         K, L = codebook.shape
         counts = jnp.zeros(K).at[indices].add(1.0)
         mu = codebook
-        diff = x - mu[indices]
-        var = (jnp.zeros((K, L)).at[indices].add(diff * diff)
-               / jnp.maximum(counts, 1)[:, None])
-        self.w = counts / x.shape[0]
+        var = jnp.zeros((K, L))
+        t1 = 0
+        for c in chunks:
+            t2 = t1 + c.shape[0]
+            idx = indices[t1:t2]
+            diff = c - mu[idx]
+            var = var.at[idx].add(diff * diff)
+            t1 = t2
+        var = var / jnp.maximum(counts, 1)[:, None]
+        self.w = counts / t1
         self.mu = mu
         self.sigma = (jax.vmap(jnp.diag)(var)
                       * self.mask + (1 - self.mask) * 0.0).astype(
@@ -153,24 +188,34 @@ class GaussianMixtureModeling(BaseLearnerOp):
             raise ValueError(f"reduction {reduction} is not supported.")
         return posterior, ll
 
-    def _em_update(self, params, x):
-        """One EM iteration as a pure function of (params, x).
+    def _accum_stats(self, params, x):
+        """Per-chunk E-step sufficient statistics: (Σγ, Σγx, Σγxx, ll).
 
-        The batch reductions (responsibilities z, first/second moments
-        px/pxx, log-likelihood) are plain sums over the data axis, so
-        under jit with ``x`` sharded over a mesh batch axis GSPMD
-        compiles them to psums — data-parallel EM with no further code.
+        Plain sums over the data axis, so streaming chunks and a mesh
+        batch axis are the same reduction: under jit with ``x`` sharded,
+        GSPMD compiles them to psums — data-parallel EM with no further
+        code (reference streams the same sums per DataLoader batch,
+        gmm.py:322-358).
         """
-        w0, mu0, sigma0 = params
-        T = x.shape[0]
         posterior, ll = self._e_step(x, params=params)
+        z = jnp.sum(posterior, axis=0)
+        px = posterior.T @ x
+        if self.is_diag:
+            pxx = posterior.T @ (x * x)
+        else:
+            pxx = jnp.einsum("bk,bl,bm->klm", posterior, x, x)
+        return z, px, pxx, ll
+
+    def _m_step(self, stats, T):
+        """Closed-form M-step from accumulated statistics."""
+        y, px, pxx, ll = stats
 
         if self.alpha == 0:
-            z = jnp.sum(posterior, axis=0)
+            z = y
             w = z / T
         else:
             xi = self.ubm_w * self.alpha
-            z = jnp.sum(posterior, axis=0) + xi
+            z = y + xi
             w = z / (T + self.alpha)
         zinv = 1.0 / z
         w = jnp.clip(w, min=self.weight_floor)
@@ -179,19 +224,16 @@ class GaussianMixtureModeling(BaseLearnerOp):
         b = self.weight_floor * (1 - a)
         w = a * w + b
 
-        px = posterior.T @ x
         if self.alpha == 0:
             mu = px * zinv[:, None]
         else:
             mu = (px + xi[:, None] * self.ubm_mu) * zinv[:, None]
 
         if self.is_diag:
-            pxx = posterior.T @ (x * x)
             mm = mu ** 2
             if self.alpha == 0:
                 sig = pxx * zinv[:, None] - mm
             else:
-                y = jnp.sum(posterior, axis=0)
                 nu = px / y[:, None]
                 nm = nu * mu
                 aa = pxx - y[:, None] * (2 * nm - mm)
@@ -203,12 +245,10 @@ class GaussianMixtureModeling(BaseLearnerOp):
             sig = jnp.clip(sig, min=self.var_floor)
             sigma = jax.vmap(jnp.diag)(sig)
         else:
-            pxx = jnp.einsum("bk,bl,bm->klm", posterior, x, x)
             mm = jnp.einsum("kl,km->klm", mu, mu)
             if self.alpha == 0:
                 sig = pxx * zinv[:, None, None] - mm
             else:
-                y = jnp.sum(posterior, axis=0)
                 nu = px / y[:, None]
                 nm = jnp.einsum("kl,km->klm", nu, mu)
                 mn = jnp.swapaxes(nm, -2, -1)
@@ -228,15 +268,31 @@ class GaussianMixtureModeling(BaseLearnerOp):
 
         return (w, mu, sigma), ll
 
+    def _em_update(self, params, x):
+        """One full-batch EM iteration as a pure function of (params, x)."""
+        return self._m_step(self._accum_stats(params, x),
+                            jnp.asarray(x.shape[0], x.dtype))
+
     def __call__(self, x, return_posterior: bool = False):
-        x = jnp.asarray(x)
+        chunks = as_chunks(x, self.batch_size)
+        T = sum(c.shape[0] for c in chunks)
         if not hasattr(self, "_em_jit"):
             self._em_jit = jax.jit(self._em_update)
+            self._accum_jit = jax.jit(self._accum_stats)
+            self._m_jit = jax.jit(self._m_step)
         params = (self.w, self.mu, self.sigma)
         prev_ll = -np.inf
         ll = jnp.asarray(-np.inf)
         for n in range(self.n_iter):
-            new_params, ll = self._em_jit(params, x)
+            if len(chunks) == 1:
+                new_params, ll = self._em_jit(params, chunks[0])
+            else:
+                stats = self._accum_jit(params, chunks[0])
+                for c in chunks[1:]:
+                    stats = jax.tree.map(
+                        jnp.add, stats, self._accum_jit(params, c))
+                new_params, ll = self._m_jit(
+                    stats, jnp.asarray(float(T), chunks[0].dtype))
             change = float(ll) - prev_ll
             # ll is evaluated at the pre-update parameters, matching the
             # reference's convergence bookkeeping (gmm.py:376-392).
@@ -248,7 +304,8 @@ class GaussianMixtureModeling(BaseLearnerOp):
 
         params = (self.w, self.mu, self.sigma)
         if return_posterior:
-            posterior, _ = self._e_step(x)
+            posterior = jnp.concatenate(
+                [self._e_step(c)[0] for c in chunks], axis=0)
             return params, posterior, ll
         return params, ll
 
@@ -291,6 +348,8 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
             raise ValueError("eps must be non-negative.")
         if perturb_factor <= 0:
             raise ValueError("perturb_factor must be positive.")
+        if batch_size is not None and batch_size <= 0:
+            raise ValueError("batch_size must be positive.")
         self.order = order
         self.codebook_size = codebook_size
         self.min_data_per_cluster = min_data_per_cluster
@@ -298,6 +357,7 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
         self.eps = eps
         self.perturb_factor = perturb_factor
         self.metric = metric
+        self.batch_size = batch_size
         self.key = jax.random.PRNGKey(seed)
 
         self.vq = VectorQuantization(order, codebook_size, seed=seed,
@@ -327,23 +387,38 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
         return jax.random.normal(sub, shape, dtype)
 
     def __call__(self, x, return_indices: bool = False):
-        x = jnp.asarray(x)
-        if x.ndim != 2:
+        chunks = as_chunks(x, self.batch_size)
+        if chunks[0].ndim != 2:
             raise ValueError("Input vectors must be 2D.")
-        T, L = x.shape
+        T = sum(c.shape[0] for c in chunks)
+        L = chunks[0].shape[1]
 
         if self.init == "mean":
-            self.vq.codebook = self.vq.codebook.at[0].set(
-                jnp.mean(x, axis=0))
+            # Streaming mean over chunks (reference: lbg.py init loop).
+            mean = sum(jnp.sum(c, axis=0) for c in chunks) / T
+            self.vq.codebook = self.vq.codebook.at[0].set(mean)
         elif self.init != "none":
             raise ValueError(f"init {self.init} is not supported.")
         self.vq.codebook = self.vq.codebook.at[
             self.curr_codebook_size:].set(1e10)
 
-        def e_step(x):
-            xq, indices, _ = self.vq(x)
-            distance = jnp.sum(jnp.square(x - xq)) / T
-            return indices, distance
+        def e_step(K=None):
+            """Assignment pass: per-chunk indices, mean distance, and
+            (when K is given) per-cluster counts + centroid sums —
+            chunk sums are exactly the full-batch reductions."""
+            sq = 0.0
+            idx_chunks = []
+            n_data = None if K is None else jnp.zeros(K)
+            csum = None if K is None else jnp.zeros((K, L),
+                                                    chunks[0].dtype)
+            for c in chunks:
+                xq, indices, _ = self.vq(c)
+                sq = sq + jnp.sum(jnp.square(c - xq))
+                idx_chunks.append(indices)
+                if K is not None:
+                    n_data = n_data.at[indices].add(1.0)
+                    csum = csum.at[indices].add(c)
+            return idx_chunks, float(sq) / T, n_data, csum
 
         distance = np.inf
         while True:
@@ -359,18 +434,14 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
 
             prev_distance = distance
             for n in range(self.n_iter):
-                indices, distance = e_step(x)
-                distance = float(distance)
+                K = self.curr_codebook_size
+                _, distance, n_data, centroids = e_step(K)
                 if n and abs(prev_distance - distance) \
                         / (distance + 1e-16) < self.eps:
                     break
                 prev_distance = distance
 
-                K = self.curr_codebook_size
-                n_data = jnp.zeros(K).at[indices].add(1.0)
                 mask = self.min_data_per_cluster <= n_data
-
-                centroids = jnp.zeros((K, L), x.dtype).at[indices].add(x)
                 centroids = jnp.where(mask[:, None],
                                       centroids
                                       / jnp.maximum(n_data, 1)[:, None],
@@ -378,7 +449,7 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
                 if bool(jnp.any(~mask)):
                     m = int(jnp.argmax(n_data))
                     n_bad = int(jnp.sum(~mask))
-                    r = self._rand((n_bad, L), x.dtype) \
+                    r = self._rand((n_bad, L), centroids.dtype) \
                         * self.perturb_factor
                     bad_idx = jnp.where(~mask, size=n_bad)[0]
                     centroids = centroids.at[bad_idx].set(
@@ -391,8 +462,8 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
 
         ret = [self.vq.codebook]
         if return_indices:
-            indices, _ = e_step(x)
-            ret.append(indices)
+            idx_chunks, _, _, _ = e_step()
+            ret.append(jnp.concatenate(idx_chunks, axis=0))
         ret.append(jnp.asarray(distance))
         return ret
 
@@ -411,8 +482,11 @@ class PrincipalComponentAnalysis(BaseLearnerOp):
             raise ValueError("n_comp must be in [1, order + 1].")
         if sort not in ("ascending", "descending"):
             raise ValueError("sort must be ascending or descending.")
+        if batch_size is not None and batch_size <= 0:
+            raise ValueError("batch_size must be positive.")
         self.n_comp = n_comp
         self.sort = sort
+        self.batch_size = batch_size
         dtype = dtype or default_dtype()
         L = order + 1
         self.s = jnp.zeros(n_comp, dtype)
@@ -437,14 +511,16 @@ class PrincipalComponentAnalysis(BaseLearnerOp):
             raise ValueError(f"cov_type {cov_type} is not supported.")
 
     def __call__(self, x):
-        x = jnp.asarray(x)
-        if x.ndim != 2:
+        chunks = as_chunks(x, self.batch_size)
+        if chunks[0].ndim != 2:
             raise ValueError("Input vectors must be 2D.")
-        x0 = x.shape[0]
+        # Streaming moment accumulation, one chunk at a time — the
+        # reference's DataLoader loop (pca.py:148-163) as plain sums.
+        x0 = sum(c.shape[0] for c in chunks)
         if x0 <= self.n_comp:
             raise RuntimeError("Number of data samples is too small.")
-        x1 = jnp.sum(x, axis=0)
-        x2 = jnp.einsum("bl,bm->lm", x, x)
+        x1 = sum(jnp.sum(c, axis=0) for c in chunks)
+        x2 = sum(jnp.einsum("bl,bm->lm", c, c) for c in chunks)
         m = x1 / x0
         c = self.cov(x0, x1, x2)
         val, vec = jnp.linalg.eigh(c)
@@ -482,9 +558,12 @@ class IndependentComponentAnalysis(BaseLearnerOp):
             raise ValueError("n_iter must be positive.")
         if eps < 0:
             raise ValueError("eps must be non-negative.")
+        if batch_size is not None and batch_size <= 0:
+            raise ValueError("batch_size must be positive.")
         self.n_comp = n_comp
         self.n_iter = n_iter
         self.eps = eps
+        self.batch_size = batch_size
         if func == "logcosh":
             self.g = jnp.tanh
             self.g_prime = lambda u: 1 - jnp.tanh(u) ** 2
@@ -493,14 +572,16 @@ class IndependentComponentAnalysis(BaseLearnerOp):
             self.g_prime = lambda u: (1 - u ** 2) * jnp.exp(-(u ** 2) / 2)
         else:
             raise ValueError(f"func {func} is not supported.")
-        self.pca = PrincipalComponentAnalysis(order, n_comp, dtype=dtype)
+        self.pca = PrincipalComponentAnalysis(order, n_comp,
+                                              batch_size=batch_size,
+                                              dtype=dtype)
         dtype = dtype or default_dtype()
         self.W = jax.random.normal(jax.random.PRNGKey(seed),
                                    (n_comp, n_comp), dtype)
 
     def __call__(self, x):
-        x = jnp.asarray(x)
-        self.pca(x)
+        chunks = as_chunks(x, self.batch_size)
+        self.pca(chunks)
 
         def decorrelate(W):
             s, V = jnp.linalg.eigh(W @ W.T)
@@ -508,13 +589,21 @@ class IndependentComponentAnalysis(BaseLearnerOp):
             return (V * d) @ V.T @ W
 
         W = decorrelate(self.W)
-        xq = self.pca.whiten(self.pca.center(x))
-        T = x.shape[0]
+        # Whitened chunks reused every iteration; for data too large to
+        # keep resident, pass an iterator and re-whiten per pass instead.
+        xqs = [self.pca.whiten(self.pca.center(c)) for c in chunks]
+        T = sum(c.shape[0] for c in chunks)
         for n in range(self.n_iter):
             prev_W = W
-            Wx = W @ xq.T
-            term1 = self.g(Wx) @ xq
-            term2 = W * jnp.sum(self.g_prime(Wx), axis=1, keepdims=True)
+            # Fixed-point update accumulated over chunks
+            # (reference: ica.py:172-182).
+            term1 = 0
+            term2 = 0
+            for xq in xqs:
+                Wx = W @ xq.T
+                term1 = term1 + self.g(Wx) @ xq
+                term2 = term2 + W * jnp.sum(self.g_prime(Wx), axis=1,
+                                            keepdims=True)
             W = (term1 - term2) / T
             W = decorrelate(W)
             similarity = jnp.abs(jnp.diagonal(W @ prev_W.T))
@@ -523,8 +612,8 @@ class IndependentComponentAnalysis(BaseLearnerOp):
                 break
 
         self.W = W
-        s = self.transform(x)
-        s2 = jnp.sum(jnp.square(s), axis=0)
+        s2 = sum(jnp.sum(jnp.square(self.transform(c)), axis=0)
+                 for c in chunks)
         self.W = W / jnp.sqrt(s2 / T)[:, None]
         return self.W
 
@@ -545,10 +634,13 @@ class NonnegativeMatrixFactorization(BaseLearnerOp):
             raise ValueError("n_iter must be positive.")
         if eps < 0:
             raise ValueError("eps must be non-negative.")
+        if batch_size is not None and batch_size <= 0:
+            raise ValueError("batch_size must be positive.")
         self.beta = beta
         self.n_iter = n_iter
         self.eps = eps
         self.act_norm = act_norm
+        self.batch_size = batch_size
         if beta < 1:
             self.phi = 1 / (2 - beta)
         elif 2 < beta:
@@ -564,38 +656,58 @@ class NonnegativeMatrixFactorization(BaseLearnerOp):
         self.H = jax.random.uniform(k2, (n_comp, order + 1), dtype)
 
     def __call__(self, x):
-        z = jnp.asarray(x)
-        if z.ndim != 2:
+        chunks = as_chunks(x, self.batch_size)
+        if chunks[0].ndim != 2:
             raise ValueError("Input vectors must be 2D.")
-        if bool(jnp.any(z <= 0)):
+        if any(bool(jnp.any(c <= 0)) for c in chunks):
             raise ValueError("Input vectors must be positive.")
+        if sum(c.shape[0] for c in chunks) != self.U.shape[0]:
+            raise ValueError("Data length must match n_data.")
         beta, phi = self.beta, self.phi
 
+        # The coefficient update is row-local and the dictionary update
+        # accumulates (K, M+1) sums, so the chunked sweep is exactly the
+        # full-batch update (reference streams the same way,
+        # nmf.py:196-241).
         prev_div = np.inf
         for n in range(self.n_iter):
-            y = self.U @ self.H
-            y2 = z * y ** (beta - 2)
-            y1 = y ** (beta - 1)
-            self.U = self.U * ((y2 @ self.H.T) / (y1 @ self.H.T)) ** phi
-            if self.act_norm:
-                self.U = self.U / jnp.sum(self.U, axis=1, keepdims=True)
+            H_numer = 0
+            H_denom = 0
+            t1 = 0
+            for z in chunks:
+                t2 = t1 + z.shape[0]
+                U = self.U[t1:t2]
+                y = U @ self.H
+                y2 = z * y ** (beta - 2)
+                y1 = y ** (beta - 1)
+                U = U * ((y2 @ self.H.T) / (y1 @ self.H.T)) ** phi
+                if self.act_norm:
+                    U = U / jnp.sum(U, axis=1, keepdims=True)
+                self.U = self.U.at[t1:t2].set(U)
 
-            y = self.U @ self.H
-            y2 = z * y ** (beta - 2)
-            y1 = y ** (beta - 1)
-            self.H = self.H * ((self.U.T @ y2) / (self.U.T @ y1)) ** phi
+                y = U @ self.H
+                H_numer = H_numer + U.T @ (z * y ** (beta - 2))
+                H_denom = H_denom + U.T @ y ** (beta - 1)
+                t1 = t2
 
-            y = self.U @ self.H
-            if beta == 0:
-                t1 = z / y
-                div = jnp.sum(t1 - jnp.log(t1) - 1)
-            elif beta == 1:
-                div = jnp.sum(z * jnp.log(z / y) - (z - y))
-            else:
-                b1 = beta - 1
-                t1 = z * (z ** b1 - y ** b1) / b1
-                t2 = (z ** beta - y ** beta) / beta
-                div = jnp.sum(t1 - t2)
+            self.H = self.H * (H_numer / H_denom) ** phi
+
+            div = 0.0
+            t1 = 0
+            for z in chunks:
+                t2 = t1 + z.shape[0]
+                y = self.U[t1:t2] @ self.H
+                if beta == 0:
+                    r = z / y
+                    div = div + jnp.sum(r - jnp.log(r) - 1)
+                elif beta == 1:
+                    div = div + jnp.sum(z * jnp.log(z / y) - (z - y))
+                else:
+                    b1 = beta - 1
+                    r1 = z * (z ** b1 - y ** b1) / b1
+                    r2 = (z ** beta - y ** beta) / beta
+                    div = div + jnp.sum(r1 - r2)
+                t1 = t2
             div = float(div)
             if n and abs(prev_div - div) / (div + 1e-16) < self.eps:
                 break

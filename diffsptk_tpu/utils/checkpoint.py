@@ -7,9 +7,13 @@ The equivalent here: an op's learned state IS a pytree
 is pytree serialization.  Design constants are never saved — they are
 recomputed at construction, exactly like the reference's buffers.
 
-Uses orbax when available (the production path, async + sharded-array
-aware); falls back to an .npz flat-dict format that round-trips any
-pytree of arrays.
+Two interchangeable backends, selected by ``backend=``:
+
+- ``"orbax"`` — the production path (async + sharded-array aware);
+  saves a checkpoint *directory*.
+- ``"npz"`` — dependency-free flat-dict format; saves a single file
+  that round-trips any pytree of arrays.
+- ``"auto"`` (default) — orbax when importable, else npz.
 """
 
 from __future__ import annotations
@@ -20,17 +24,22 @@ import jax
 import numpy as np
 
 
-def save(path: str, pytree) -> None:
+def _have_orbax() -> bool:
+    import importlib.util
+    return importlib.util.find_spec("orbax") is not None
+
+
+def save(path: str, pytree, backend: str = "auto") -> None:
     """Save a pytree of arrays to ``path`` (directory for orbax, file
     for npz)."""
-    try:
+    if backend not in ("auto", "orbax", "npz"):
+        raise ValueError(f"backend {backend} is not supported.")
+    if backend == "orbax" or (backend == "auto" and _have_orbax()):
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.abspath(path), pytree, force=True)
         ckptr.wait_until_finished()
         return
-    except ImportError:
-        pass
     flat, treedef = jax.tree.flatten(pytree)
     np.savez(path if path.endswith(".npz") else path + ".npz",
              __treedef__=np.frombuffer(
@@ -38,16 +47,15 @@ def save(path: str, pytree) -> None:
              **{str(i): np.asarray(a) for i, a in enumerate(flat)})
 
 
-def load(path: str, like):
+def load(path: str, like, backend: str = "auto"):
     """Load a checkpoint saved by :func:`save`.  ``like`` is a pytree
     with the target structure (e.g. ``op.trainable_params``)."""
-    try:
+    if backend not in ("auto", "orbax", "npz"):
+        raise ValueError(f"backend {backend} is not supported.")
+    if backend != "npz" and os.path.isdir(path):
         import orbax.checkpoint as ocp
-        if os.path.isdir(path):
-            ckptr = ocp.StandardCheckpointer()
-            return ckptr.restore(os.path.abspath(path), like)
-    except ImportError:
-        pass
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path), like)
     p = path if path.endswith(".npz") else path + ".npz"
     data = np.load(p)
     flat, treedef = jax.tree.flatten(like)

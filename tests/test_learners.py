@@ -118,6 +118,78 @@ def test_ica_separates():
     assert cors.max(axis=1).min() > 0.9, cors
 
 
+def test_gmm_batch_size_streams():
+    """Chunked EM accumulates the same sufficient statistics as
+    full-batch (reference streams via DataLoader, gmm.py:322-358)."""
+    x = jnp.asarray(_two_clusters(400))
+    full = diffsptk_tpu.GMM(2, 2, n_iter=10, seed=5)
+    chunked = diffsptk_tpu.GMM(2, 2, n_iter=10, seed=5, batch_size=96)
+    (w0, mu0, s0), ll0 = full(x)
+    (w1, mu1, s1), ll1 = chunked(x)
+    U.assert_close(np.asarray(w1), np.asarray(w0), rtol=1e-8, atol=1e-10)
+    U.assert_close(np.asarray(mu1), np.asarray(mu0), rtol=1e-8, atol=1e-10)
+    U.assert_close(np.asarray(s1), np.asarray(s0), rtol=1e-8, atol=1e-10)
+    # data larger than any single array: a list of chunks works too
+    pieces = [x[:150], x[150:300], x[300:]]
+    listed = diffsptk_tpu.GMM(2, 2, n_iter=10, seed=5)
+    (w2, mu2, _), _ = listed(pieces)
+    U.assert_close(np.asarray(mu2), np.asarray(mu0), rtol=1e-8, atol=1e-10)
+
+
+def test_gmm_batch_size_map_adaptation():
+    x = jnp.asarray(_two_clusters(400))
+    ubm = diffsptk_tpu.GMM(2, 2, n_iter=10, seed=5)
+    params, _ = ubm(x)
+    y = x[:200]
+    full = diffsptk_tpu.GMM(2, 2, n_iter=5, ubm=params, alpha=0.3)
+    chunked = diffsptk_tpu.GMM(2, 2, n_iter=5, ubm=params, alpha=0.3,
+                               batch_size=64)
+    (w0, mu0, s0), _ = full(y)
+    (w1, mu1, s1), _ = chunked(y)
+    U.assert_close(np.asarray(mu1), np.asarray(mu0), rtol=1e-8, atol=1e-10)
+    U.assert_close(np.asarray(s1), np.asarray(s0), rtol=1e-8, atol=1e-10)
+
+
+def test_lbg_batch_size_streams():
+    x = jnp.asarray(_two_clusters(300))
+    full = diffsptk_tpu.LBG(2, 4, n_iter=20, seed=2)
+    chunked = diffsptk_tpu.LBG(2, 4, n_iter=20, seed=2, batch_size=77)
+    cb0, idx0, d0 = full(x, return_indices=True)
+    cb1, idx1, d1 = chunked(x, return_indices=True)
+    U.assert_close(np.asarray(cb1), np.asarray(cb0), rtol=1e-8, atol=1e-10)
+    assert np.array_equal(np.asarray(idx1), np.asarray(idx0))
+    assert abs(float(d1) - float(d0)) < 1e-10
+
+
+def test_pca_ica_nmf_batch_size_streams():
+    x = jnp.asarray(_two_clusters(300))
+    p0 = diffsptk_tpu.PCA(2, 2)
+    p1 = diffsptk_tpu.PCA(2, 2, batch_size=50)
+    s0, V0, m0 = p0(x)
+    s1, V1, m1 = p1(x)
+    U.assert_close(np.asarray(s1), np.asarray(s0), rtol=1e-8, atol=1e-10)
+    U.assert_close(np.asarray(V1), np.asarray(V0), rtol=1e-6, atol=1e-8)
+
+    t = np.linspace(0, 1, 1000)
+    S = np.stack([np.sign(np.sin(26 * np.pi * t)),
+                  np.sin(14 * np.pi * t)], -1)
+    mix = jnp.asarray(S @ np.array([[1.0, 0.6], [0.4, 1.0]]).T)
+    i0 = diffsptk_tpu.ICA(1, 2, n_iter=50, seed=3)
+    i1 = diffsptk_tpu.ICA(1, 2, n_iter=50, seed=3, batch_size=256)
+    W0 = i0(mix)
+    W1 = i1(mix)
+    U.assert_close(np.asarray(W1), np.asarray(W0), rtol=1e-6, atol=1e-8)
+
+    z = jnp.asarray(RNG.uniform(0.1, 1, (40, 3))
+                    @ RNG.uniform(0.1, 1, (3, 6)))
+    n0 = diffsptk_tpu.NMF(40, 5, 3, n_iter=30, seed=1)
+    n1 = diffsptk_tpu.NMF(40, 5, 3, n_iter=30, seed=1, batch_size=16)
+    (Uf0, Hf0), div0 = n0(z)
+    (Uf1, Hf1), div1 = n1(z)
+    U.assert_close(np.asarray(Uf1), np.asarray(Uf0), rtol=1e-7, atol=1e-9)
+    U.assert_close(np.asarray(Hf1), np.asarray(Hf0), rtol=1e-7, atol=1e-9)
+
+
 @pytest.mark.parametrize("beta", [0, 1, 2])
 def test_nmf(beta):
     U_true = RNG.uniform(0.1, 1, (40, 3))

@@ -200,6 +200,81 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(p[k]), np.asarray(p2[k]))
 
 
+def test_checkpoint_npz_roundtrip(tmp_path):
+    """The dependency-free npz backend must round-trip pytrees exactly
+    (the orbax path is covered by test_checkpoint_roundtrip)."""
+    import jax
+
+    from diffsptk_tpu.utils import checkpoint
+
+    op = diffsptk_tpu.Window(16, learnable=True)
+    p = op.trainable_params
+    path = str(tmp_path / "ckpt_npz")
+    checkpoint.save(path, p, backend="npz")
+    assert (tmp_path / "ckpt_npz.npz").is_file()
+    p2 = checkpoint.load(path, jax.tree.map(jnp.zeros_like, p),
+                         backend="npz")
+    for k in p:
+        np.testing.assert_allclose(np.asarray(p[k]), np.asarray(p2[k]))
+
+
+@pytest.mark.parametrize("out_format", [
+    "f0-rmse-hz", "f0-rmse-cent", "f0-rmse-semitone",
+    "vuv-error-rate", "vuv-error-percent", "vuv-macro-f1-score"])
+@pytest.mark.parametrize("reduction", ["none", "mean", "sum"])
+def test_f0eval(out_format, reduction):
+    """Parity with the reference on its own fixture values
+    (reference: tests/test_f0eval.py)."""
+    x = np.array([0, 0, 200, 210, 0, 200, 0], dtype=np.float64)
+    y = np.array([0, 0, 190, 180, 180, 0, 0], dtype=np.float64)
+    ours = diffsptk_tpu.F0Evaluation(reduction=reduction,
+                                     out_format=out_format)
+    ref = reference.F0Evaluation(reduction=reduction,
+                                 out_format=out_format)
+    U.check_parity(lambda a, b: ours(a, b), lambda a, b: ref(a, b), x, y)
+    # functional wrapper agrees with the class path
+    f = diffsptk_tpu.functional.f0eval(U.to_jax(x), U.to_jax(y),
+                                       reduction=reduction,
+                                       out_format=out_format)
+    U.assert_close(np.asarray(f), np.asarray(ours(U.to_jax(x),
+                                                  U.to_jax(y))))
+
+
+def test_f0eval_f1_score():
+    """Reference's own macro-F1 fixture (tests/test_f0eval.py:74-80)."""
+    f0eval = diffsptk_tpu.F0Evaluation(out_format="vuv-macro-f1-score")
+    x = jnp.asarray([0.0, 1, 1, 0, 0, 1, 0, 1, 0])
+    y = jnp.asarray([0.0, 1, 0, 0, 1, 0, 0, 1, 1])
+    assert abs(float(f0eval(x, y)) - 0.55) < 1e-6
+
+
+def test_dtw_merge_functional():
+    """functional.dtw_merge joins aligned pairs like the reference
+    (reference: functional.py:575-595)."""
+    x = RNG.standard_normal((6, 2))
+    y = RNG.standard_normal((8, 2))
+    dtw = diffsptk_tpu.DTW(p=1)
+    _, idx = dtw(U.to_jax(x), U.to_jax(y), return_indices=True)
+    z = diffsptk_tpu.functional.dtw_merge(U.to_jax(x), U.to_jax(y), idx[0])
+    import diffsptk as ref_pkg
+    ref_dtw = reference.DTW(p=1)
+    with torch.no_grad():
+        _, idx_ref = ref_dtw(U.to_torch(x), U.to_torch(y),
+                             return_indices=True)
+        z_ref = ref_pkg.functional.dtw_merge(U.to_torch(x), U.to_torch(y),
+                                             idx_ref[0])
+    assert np.asarray(z).shape == (idx[0].shape[0], 4)
+    U.assert_close(np.asarray(z), z_ref)
+    # 1D inputs produce (T, 2) pairs
+    x1 = np.array([1.0, 3.0, 6.0, 9.0])
+    y1 = np.array([2.0, 3.0, 8.0, 8.0])
+    _, idx1 = diffsptk_tpu.DTW(p=1)(U.to_jax(x1), U.to_jax(y1),
+                                    return_indices=True)
+    z1 = diffsptk_tpu.functional.dtw_merge(U.to_jax(x1), U.to_jax(y1),
+                                           idx1[0])
+    assert np.asarray(z1).shape == (idx1[0].shape[0], 2)
+
+
 def test_learnable_dfs():
     import jax
 

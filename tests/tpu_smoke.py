@@ -218,8 +218,14 @@ def cases():
         (jnp.tile(vec, (1, 1, 2)),))
     yield "dtw", lambda: (
         lambda q, r: F.dtw(q, r)[0], (vec[0], vec[1] + 0.1,))
+    yield "dtw_merge", lambda: (
+        F.dtw_merge,
+        (vec[0], vec[1] + 0.1,
+         F.dtw(vec[0], vec[1] + 0.1, return_indices=True)[1][0]))
     yield "rmse", lambda: (F.rmse, (x, x * 0.9,))
     yield "snr", lambda: (F.snr, (x, x * 0.1,))
+    yield "f0eval", lambda: (
+        F.f0eval, (jnp.abs(vec[0, :, 0]) * 100, jnp.abs(vec[1, :, 0]) * 100))
     yield "entropy", lambda: (
         lambda p: F.entropy(p / jnp.sum(p, -1, keepdims=True)), (pos,))
     yield "histogram", lambda: (F.histogram, (x,))

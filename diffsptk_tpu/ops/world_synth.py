@@ -21,19 +21,36 @@ from ..core import BaseNonFunctionalOp, to_device_array
 from .world_common import TAU, get_minimum_phase_spectrum
 
 
-_PHASE_BITS = 22
-_PHASE_SCALE = float(1 << _PHASE_BITS)
-_PHASE_MASK = (1 << _PHASE_BITS) - 1
+_PHASE_BITS = 22      # f32 path: TAU = 2^22 int32 units (wraps mod 2^32)
+_PHASE_BITS64 = 52    # f64 path: TAU = 2^52 int64 units (wraps mod 2^64)
 
 
 def phase_units(rate: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample phase increments in fixed-point units (TAU = 2^22)."""
-    return jnp.round(rate * (_PHASE_SCALE / TAU)).astype(jnp.int32)
+    """Per-sample phase increments in fixed-point units.
+
+    The scale adapts to the input precision: f64 rates use 2^52 units in
+    int64 (quantization ~1.4e-15 TAU/sample — at this resolution every
+    *voiced* pulse lands on the same sample as the reference's f64
+    cumsum; only exact phase-wrap ties in the default-f0 unvoiced region
+    can differ, and those carry noise only), f32 rates use 2^22 units in
+    int32 (TPU path; strictly better than an f32 cumsum, whose error
+    grows to ~radians over a second).  Both scales divide the integer
+    modulus, so the wrapped phase is exact and bitwise independent of
+    summation order — the property the sharded synthesis
+    (parallel/world.py) relies on.
+    """
+    if rate.dtype == jnp.float64:
+        return jnp.round(rate * (float(1 << _PHASE_BITS64) / TAU)).astype(
+            jnp.int64)
+    return jnp.round(rate * (float(1 << _PHASE_BITS) / TAU)).astype(
+        jnp.int32)
 
 
 def units_to_phase(units: jnp.ndarray, dtype) -> jnp.ndarray:
     """Wrapped phase in [0, TAU) from (possibly overflowed) unit sums."""
-    return (units & _PHASE_MASK).astype(dtype) * (TAU / _PHASE_SCALE)
+    bits = _PHASE_BITS64 if units.dtype == jnp.int64 else _PHASE_BITS
+    return (units & ((1 << bits) - 1)).astype(dtype) * (
+        TAU / float(1 << bits))
 
 
 def _wrap_phase_fixed_point(rate: jnp.ndarray) -> jnp.ndarray:

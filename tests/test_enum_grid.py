@@ -1,0 +1,247 @@
+"""Enum-grid parity sweeps: for every enum kwarg an op accepts, the set
+of accepted values AND the numeric output must match the PyTorch
+reference (the reference sweeps these grids per-op in its own tests,
+e.g. /root/reference/tests/test_spec.py, test_acorr.py,
+tests/conftest.py:21-50).
+
+Each case sweeps SPTK integer aliases over a range that extends past the
+valid set, asserting that both implementations accept/reject identically
+— so a missing or extra enum value is a failure, not a silent skip.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import diffsptk_tpu
+from tests import utils as U
+from tests.oracle import reference
+
+RNG = np.random.default_rng(11)
+X16 = RNG.standard_normal(16)
+X200 = RNG.standard_normal(200)
+P16 = np.abs(RNG.standard_normal(16)) + 0.1
+SPEC33 = np.abs(np.fft.rfft(RNG.standard_normal(64))) ** 2 + 1e-3
+
+# a stable LPC set: gain + coefficients from an AR(3) fit
+_a = np.array([1.2, -0.5, 0.3, -0.1])
+
+
+def _sweep(run_ours, run_ref, values, rtol=1e-5, atol=1e-8):
+    """Run both sides for every enum value; accepted sets and outputs
+    must agree."""
+    n_ok = 0
+    for v in values:
+        try:
+            ours = run_ours(v)
+            ours_ok = True
+        except ValueError:
+            ours_ok = False
+        try:
+            with torch.no_grad():
+                ref = run_ref(v)
+            ref_ok = True
+        except ValueError:
+            ref_ok = False
+        assert ours_ok == ref_ok, (
+            f"enum {v!r}: ours {'accepts' if ours_ok else 'rejects'}, "
+            f"reference {'accepts' if ref_ok else 'rejects'}")
+        if not ours_ok:
+            continue
+        n_ok += 1
+        if isinstance(ours, tuple):
+            assert isinstance(ref, tuple) and len(ours) == len(ref)
+            for o, r in zip(ours, ref):
+                U.assert_close(np.asarray(o), r, rtol=rtol, atol=atol,
+                               msg=f"enum {v!r}")
+        else:
+            U.assert_close(np.asarray(ours), ref, rtol=rtol, atol=atol,
+                           msg=f"enum {v!r}")
+    assert n_ok > 0, "no enum value accepted — sweep is vacuous"
+
+
+def test_acorr_out_format_grid():
+    _sweep(
+        lambda v: diffsptk_tpu.functional.acorr(U.to_jax(X16), 3,
+                                                out_format=v),
+        lambda v: reference.functional.acorr(U.to_torch(X16), 3,
+                                             out_format=v),
+        range(5))
+
+
+def test_fftr_out_format_grid():
+    _sweep(
+        lambda v: diffsptk_tpu.functional.fftr(U.to_jax(X16), 32,
+                                               out_format=v),
+        lambda v: reference.functional.fftr(U.to_torch(X16), 32,
+                                            out_format=v),
+        range(7))
+
+
+def test_spec_out_format_grid():
+    _sweep(
+        lambda v: diffsptk_tpu.functional.spec(U.to_jax(X16),
+                                               fft_length=32,
+                                               out_format=v),
+        lambda v: reference.functional.spec(U.to_torch(X16),
+                                            fft_length=32, out_format=v),
+        range(5))
+
+
+def test_mgc2sp_out_format_grid():
+    mc = RNG.standard_normal(5) * 0.2
+    _sweep(
+        lambda v: diffsptk_tpu.functional.mgc2sp(U.to_jax(mc), 32,
+                                                 alpha=0.1, out_format=v),
+        lambda v: reference.functional.mgc2sp(U.to_torch(mc), 32,
+                                              alpha=0.1, out_format=v),
+        range(9))
+
+
+def test_lsp_format_grids():
+    """lpc2lsp out_format grid, then lsp2lpc in_format round-trips back
+    to the same LPC for every format."""
+    a = _a
+    _sweep(
+        lambda v: diffsptk_tpu.functional.lpc2lsp(U.to_jax(a),
+                                                  sample_rate=8000,
+                                                  out_format=v),
+        lambda v: reference.functional.lpc2lsp(U.to_torch(a),
+                                               sample_rate=8000,
+                                               out_format=v),
+        range(5), rtol=1e-4, atol=1e-6)
+    for v in range(4):
+        w = diffsptk_tpu.functional.lpc2lsp(U.to_jax(a), sample_rate=8000,
+                                            out_format=v)
+        _sweep(
+            lambda u, w=w: diffsptk_tpu.functional.lsp2lpc(
+                w, sample_rate=8000, in_format=u),
+            lambda u, w=w: reference.functional.lsp2lpc(
+                U.to_torch(np.asarray(w)), sample_rate=8000, in_format=u),
+            [v], rtol=1e-4, atol=1e-6)
+        back = diffsptk_tpu.functional.lsp2lpc(w, sample_rate=8000,
+                                               in_format=v)
+        U.assert_close(np.asarray(back), a, rtol=1e-4, atol=1e-6)
+
+
+def test_entropy_out_format_grid():
+    p = P16 / P16.sum()
+    _sweep(
+        lambda v: diffsptk_tpu.functional.entropy(U.to_jax(p),
+                                                  out_format=v),
+        lambda v: reference.functional.entropy(U.to_torch(p),
+                                               out_format=v),
+        range(4))
+
+
+def test_fbank_out_format_grid():
+    _sweep(
+        lambda v: diffsptk_tpu.functional.fbank(U.to_jax(SPEC33), 4, 8000,
+                                                out_format=v),
+        lambda v: reference.functional.fbank(U.to_torch(SPEC33), 4, 8000,
+                                             out_format=v),
+        range(4), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("op", ["mfcc", "plp"])
+def test_cepstral_fbank_out_format_grid(op):
+    _sweep(
+        lambda v: getattr(diffsptk_tpu.functional, op)(
+            U.to_jax(SPEC33), 4, 8, 8000, out_format=v),
+        lambda v: getattr(reference.functional, op)(
+            U.to_torch(SPEC33), 4, 8, 8000, out_format=v),
+        range(5), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("window", ["blackman", "hamming", "hanning",
+                                    "bartlett", "trapezoidal", "rectangular",
+                                    "nuttall"])
+def test_stft_window_by_out_format_grid(window):
+    _sweep(
+        lambda v: diffsptk_tpu.functional.stft(
+            U.to_jax(X200), frame_length=32, frame_period=16,
+            fft_length=32, window=window, out_format=v),
+        lambda v: reference.functional.stft(
+            U.to_torch(X200), frame_length=32, frame_period=16,
+            fft_length=32, window=window, out_format=v),
+        range(4), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("center", [True, False])
+@pytest.mark.parametrize("zmean", [True, False])
+def test_frame_mode_grid(center, zmean):
+    U.check_parity(
+        lambda x: diffsptk_tpu.functional.frame(
+            x, frame_length=8, frame_period=4, center=center, zmean=zmean),
+        lambda x: reference.functional.frame(
+            x, frame_length=8, frame_period=4, center=center, zmean=zmean),
+        X16)
+
+
+@pytest.mark.parametrize("unvoiced_region", ["gauss", "zeros"])
+def test_excite_unvoiced_region_grid(unvoiced_region):
+    """Mixed track; gauss regions are RNG so compare voiced samples and
+    the unvoiced variance instead of raw values."""
+    p = np.array([40.0, 40.0, 0.0, 0.0, 50.0, 50.0])
+    ours = np.asarray(diffsptk_tpu.functional.excite(
+        U.to_jax(p), 16, unvoiced_region=unvoiced_region))
+    with torch.no_grad():
+        ref = reference.functional.excite(
+            U.to_torch(p), 16, unvoiced_region=unvoiced_region).numpy()
+    assert ours.shape == ref.shape
+    # the RNG-dependent span covers the unvoiced frames plus the
+    # preceding interpolation frame (last voiced pitch mark -> unvoiced)
+    unvoiced = slice(16 * 1, 16 * 4)
+    if unvoiced_region == "zeros":
+        U.assert_close(ours, ref, rtol=1e-5, atol=1e-8)
+    else:
+        mask = np.ones(len(ours), bool)
+        mask[unvoiced] = False
+        U.assert_close(ours[mask], ref[mask], rtol=1e-5, atol=1e-8)
+        assert abs(np.var(ours[16 * 2:16 * 3]) - 1.0) < 0.6
+
+
+def test_aperiodicity_out_format_grid(data_wav):
+    x = np.asarray(data_wav)[:1600]
+    f0 = np.full(1600 // 80, 120.0)
+    _sweep(
+        lambda v: diffsptk_tpu.Aperiodicity(
+            80, 16000, 1024, algorithm="tandem", out_format=v)(
+                U.to_jax(x), U.to_jax(f0)),
+        lambda v: reference.Aperiodicity(
+            80, 16000, 1024, algorithm="tandem", out_format=v)(
+                U.to_torch(x), U.to_torch(f0)),
+        range(5), rtol=1e-3, atol=1e-4)
+
+
+def test_pitch_spec_out_format_grid(data_wav):
+    x = np.asarray(data_wav)[:1600]
+    f0 = np.full(1600 // 80, 120.0)
+    _sweep(
+        lambda v: diffsptk_tpu.PitchAdaptiveSpectralAnalysis(
+            80, 16000, 1024, out_format=v)(U.to_jax(x), U.to_jax(f0)),
+        lambda v: reference.PitchAdaptiveSpectralAnalysis(
+            80, 16000, 1024, out_format=v)(U.to_torch(x), U.to_torch(f0)),
+        range(5), rtol=1e-4, atol=1e-6)
+
+
+def test_pitch_out_format_consistency():
+    """No neural oracle in this image: check the YIN path's out_format
+    conversions are mutually consistent (pitch = sr/f0, log-f0 = ln f0)."""
+    t = np.arange(8000) / 16000
+    x = np.sin(2 * np.pi * 200 * t)
+    f0 = np.asarray(diffsptk_tpu.Pitch(80, 16000, algorithm="yin",
+                                       out_format="f0")(U.to_jax(x)))
+    pitch = np.asarray(diffsptk_tpu.Pitch(80, 16000, algorithm="yin",
+                                          out_format="pitch")(U.to_jax(x)))
+    lf0 = np.asarray(diffsptk_tpu.Pitch(80, 16000, algorithm="yin",
+                                        out_format="log-f0")(U.to_jax(x)))
+    voiced = f0 > 0
+    assert voiced.any()
+    U.assert_close(pitch[voiced], 16000 / f0[voiced], rtol=1e-5, atol=1e-6)
+    U.assert_close(lf0[voiced], np.log(f0[voiced]), rtol=1e-5, atol=1e-6)
+    assert np.all(pitch[~voiced] == 0)
+    assert np.all(lf0[~voiced] == -1.0e10)

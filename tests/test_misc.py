@@ -175,7 +175,7 @@ def test_drc():
     assert abs(var - 0.5651) < 0.02, var
 
 
-def test_f0eval():
+def test_f0eval_mixed_voicing():
     x = np.array([100.0, 0.0, 120.0, 130.0, 0.0, 140.0])
     y = np.array([101.0, 0.0, 0.0, 128.0, 110.0, 142.0])
     for fmt in ["f0-rmse-hz", "f0-rmse-cent", "f0-rmse-semitone",

@@ -125,3 +125,116 @@ def test_invalid_configs():
         diffsptk_tpu.Pitch(80, SR, algorithm="crepe", f_min=100, f_max=50)
     with pytest.raises(ValueError):
         diffsptk_tpu.Pitch(80, SR, algorithm="crepe", model="huge")
+
+
+# ----------------------------------------------------- converter fidelity
+def _torch_crepe(model="tiny", seed=0):
+    """Eval-mode torch replica of the (public) CREPE architecture with
+    randomized weights AND randomized BatchNorm running stats, state-dict
+    compatible with torchcrepe's naming — the fixture a real released
+    checkpoint would provide (torchcrepe/assets/*.pth)."""
+    import torch
+    from diffsptk_tpu.ops.pitch_nn import (_CREPE_BN_EPS, _CREPE_CAPACITY,
+                                           _CREPE_KERNELS, _CREPE_STRIDES)
+
+    cap = _CREPE_CAPACITY[model]
+    torch.manual_seed(seed)
+
+    class TorchCrepe(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            for i, (ci, co, k, s) in enumerate(
+                    zip(cap["in_channels"], cap["out_channels"],
+                        _CREPE_KERNELS, _CREPE_STRIDES), start=1):
+                setattr(self, f"conv{i}",
+                        torch.nn.Conv1d(ci, co, k, stride=s))
+                bn = torch.nn.BatchNorm1d(co, eps=_CREPE_BN_EPS)
+                bn.running_mean.normal_(0, 0.5)
+                bn.running_var.uniform_(0.5, 2.0)
+                bn.weight.data.uniform_(0.5, 1.5)
+                bn.bias.data.normal_(0, 0.5)
+                setattr(self, f"conv{i}_BN", bn)
+            self.classifier = torch.nn.Linear(cap["in_features"], 360)
+
+        def forward(self, x):
+            from diffsptk_tpu.ops.pitch_nn import _CREPE_PADS
+            h = x[:, None, :]
+            for i in range(1, 7):
+                h = torch.nn.functional.pad(h, _CREPE_PADS[i - 1])
+                h = getattr(self, f"conv{i}")(h)
+                h = torch.relu(h)
+                h = getattr(self, f"conv{i}_BN")(h)
+                h = torch.nn.functional.max_pool1d(h, 2, 2)
+            h = h.permute(0, 2, 1).reshape(h.shape[0], -1)
+            return torch.sigmoid(self.classifier(h))
+
+    net = TorchCrepe().eval()
+    return net
+
+
+def test_crepe_converter_round_trip(tmp_path):
+    """tools/convert_pitch_checkpoint.py on a torch state dict with the
+    torchcrepe layout: the converted npz loaded into the JAX forward must
+    reproduce the torch model's eval-mode output (VERDICT round-1 task:
+    prove shape/permutation fidelity end-to-end)."""
+    import importlib.util
+    import torch
+    from diffsptk_tpu.ops.pitch_nn import crepe_forward
+
+    net = _torch_crepe("tiny", seed=1)
+    pth = tmp_path / "tiny.pth"
+    torch.save(net.state_dict(), str(pth))
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_pitch_checkpoint",
+        "/root/repo/tools/convert_pitch_checkpoint.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "tiny.npz"
+    mod.convert_crepe(str(pth), str(out), "tiny")
+
+    params = {k: np.asarray(v) for k, v in np.load(out).items()}
+    x = np.random.RandomState(0).randn(3, 1024).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(crepe_forward(params, jnp.asarray(x), "tiny"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fcnf0_converter_round_trip(tmp_path):
+    """Same end-to-end proof for the penn/FCNF0 positional mapping."""
+    import importlib.util
+    import torch
+    from diffsptk_tpu.ops.pitch_nn import _FCNF0_BLOCKS, fcnf0_forward
+
+    torch.manual_seed(2)
+    layers = []
+    for ci, co, ln, pool in _FCNF0_BLOCKS:
+        layers.append(torch.nn.Conv1d(ci, co, 32))
+        if pool is not None:
+            layers.append(torch.nn.MaxPool1d(*pool))
+        layers.append(torch.nn.ReLU())
+        ln_mod = torch.nn.LayerNorm((co, ln))
+        ln_mod.weight.data.uniform_(0.5, 1.5)
+        ln_mod.bias.data.normal_(0, 0.5)
+        layers.append(ln_mod)
+    layers.append(torch.nn.Conv1d(512, 1440, 4))
+    net = torch.nn.Sequential(*layers).eval()
+
+    pth = tmp_path / "fcnf0.pt"
+    torch.save(net.state_dict(), str(pth))
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_pitch_checkpoint",
+        "/root/repo/tools/convert_pitch_checkpoint.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "fcnf0.npz"
+    mod.convert_fcnf0(str(pth), str(out))
+
+    params = {k: np.asarray(v) for k, v in np.load(out).items()}
+    x = np.random.RandomState(1).randn(2, 1024).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x[:, None, 16:-15]))[..., 0].numpy()
+    got = np.asarray(fcnf0_forward(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -88,7 +88,9 @@ def main() -> None:
                       f_min=80, f_max=180)
     ap = dsp.Aperiodicity(P, sr, Lw, algorithm="tandem")
     ps = dsp.PitchAdaptiveSpectralAnalysis(P, sr, Lw)
-    ws = dsp.WorldSynthesis(P, sr, Lw)
+    # slot table + noise table sized by the tracker's actual pitch range
+    # (f0_ceil must still cover the 500 Hz unvoiced default pulse rate)
+    ws = dsp.WorldSynthesis(P, sr, Lw, f0_ceil=600.0, f0_floor=80.0)
 
     def world_chain(xw):
         f0 = pitch(xw)

@@ -45,7 +45,8 @@ class WorldVocoder:
             algorithm=spec_algorithm, **(spec_kwargs or {}))
         self.synth = WorldSynthesis(
             frame_period, sample_rate, fft_length,
-            f0_ceil=max(f_max, 500.0) * 1.2, **(synth_kwargs or {}))
+            f0_ceil=max(f_max, 500.0) * 1.2, f0_floor=f_min,
+            **(synth_kwargs or {}))
 
     def analyze(self, x: jnp.ndarray):
         """Waveform (..., T) -> (f0, aperiodicity, envelope)."""

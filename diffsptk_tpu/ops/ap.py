@@ -65,15 +65,37 @@ def _qmf_low() -> np.ndarray:
     return h
 
 
-def _conv_stride2(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-    """Reflection-padded cross-correlation with stride 2 over (B, T)."""
+def _conv_stride2(x: jnp.ndarray, h: jnp.ndarray,
+                  _block: int = 128) -> jnp.ndarray:
+    """Reflection-padded cross-correlation with stride 2 over (B, T).
+
+    Computed as a framed matmul: each block of 128 decimated outputs is
+    the (2*128 + k - 1)-sample input span times a banded constant
+    matrix W[i, f] = h[i - 2f].  A 1-channel conv1d pads to 1/128th of
+    an MXU tile on TPU; this form runs the same FIR at full MXU width
+    (~7x more MACs, two orders of magnitude more throughput).
+    """
     k = h.shape[0]
     pad = k // 2
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    out = jax.lax.conv_general_dilated(
-        xp[:, None, :], h[None, None, :], window_strides=(2,),
-        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
-    return out[:, 0, :]
+    T = x.shape[-1]
+    M = (T + 2 * pad - k) // 2 + 1            # ceil(T/2) for odd k
+    F = _block
+    S = 2 * F + k - 1
+    Mb = -(-M // F)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)],
+                 mode="reflect")
+    xp = jnp.pad(xp, [(0, 0)] * (x.ndim - 1)
+                 + [(0, (Mb + 1) * 2 * F - xp.shape[-1])])
+    z1 = xp[..., :Mb * 2 * F].reshape(*x.shape[:-1], Mb, 2 * F)
+    z2 = xp[..., 2 * F:(Mb + 1) * 2 * F].reshape(
+        *x.shape[:-1], Mb, 2 * F)[..., :k - 1]
+    frames = jnp.concatenate([z1, z2], axis=-1)          # (..., Mb, S)
+    i = np.arange(S)[:, None] - 2 * np.arange(F)[None, :]
+    W = np.where((0 <= i) & (i < k), np.asarray(h, np.float64)[
+        np.clip(i, 0, k - 1)], 0.0)
+    W = jnp.asarray(W, x.dtype)
+    y = (frames @ W).reshape(*x.shape[:-1], Mb * F)
+    return y[..., :M]
 
 
 def _tandem_pad(tmp_fs: float, segment_length: int) -> int:

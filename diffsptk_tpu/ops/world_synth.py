@@ -64,7 +64,8 @@ class WorldSynthesis(BaseNonFunctionalOp):
 
     def __init__(self, frame_period: int, sample_rate: int, fft_length: int,
                  *, default_f0: float = 500, f0_ceil: float = 1200.0,
-                 seed: int = 0, dtype=None) -> None:
+                 f0_floor: float | None = None, seed: int = 0,
+                 dtype=None) -> None:
         if frame_period <= 0:
             raise ValueError("frame_period must be positive.")
         if sample_rate < 8000:
@@ -77,6 +78,25 @@ class WorldSynthesis(BaseNonFunctionalOp):
         self.default_f0 = default_f0
         self.f0_ceil = max(f0_ceil, default_f0)
         self.seed = seed
+
+        # Per-pulse noise spans the gap to the next pulse, bounded by
+        # sr/f0 of the lowest pulse rate.  When the caller promises a
+        # pitch floor, the noise table shrinks from fft_length to that
+        # bound (rounded up to the 128-lane TPU tile) — ~3x fewer
+        # counter-based Gaussian draws at speech configs.  f0 inputs
+        # below the floor get their noise segment truncated at the
+        # bound; f0_floor=None keeps the exact full-length behavior.
+        if f0_floor is None:
+            self.noise_length = fft_length
+        else:
+            if f0_floor <= 0:
+                raise ValueError("f0_floor must be positive.")
+            # + frame_period: at a voicing crossover the interpolated f0
+            # dips to ~f0_floor/2 for at most one frame, stretching that
+            # one gap by up to a frame period.
+            bound = (int(round(sample_rate / min(f0_floor, default_f0)))
+                     + frame_period + 2)
+            self.noise_length = min(fft_length, -(-bound // 128) * 128)
 
         self.ramp = jnp.arange(fft_length)
 
@@ -114,15 +134,41 @@ class WorldSynthesis(BaseNonFunctionalOp):
         H = L // 2
         D = env.shape[-1]
 
-        # GetPeriodicResponse() with fractional time shift
-        weight = 1 - apr
-        spectrum = get_minimum_phase_spectrum(weight * env)
+        # GetNoiseSpectrum() — noise is keyed per slot by the pulse's
+        # global sample position (batch row folded in), so any (dp, tp)
+        # sharding of the synthesis reproduces the identical stream
+        # (the reference consumes one sequential randn stream, which
+        # would make sharded and unsharded outputs diverge).  Only
+        # noise_length samples are drawn (see __init__); rfft zero-pads.
+        Ln = self.noise_length
+        noise = self._slot_noise(time_index_global, span=span,
+                                 batch_offset=batch_offset,
+                                 length=Ln, dtype=env.dtype)
+        mask = self.ramp[:Ln] < noise_size
+        noise = noise * mask
+        avg = jnp.sum(noise, axis=-1, keepdims=True) / jnp.where(
+            noise_size == 0, 1, noise_size)
+        noise = (noise - avg) * mask
+        noise_spectrum = jnp.fft.rfft(noise, n=L)
+
+        # GetPeriodicResponse() + GetAperiodicResponse(): both are
+        # minimum-phase spectra of a weighted envelope followed by one
+        # inverse transform — stacked into ONE batched cepstrum pass and
+        # ONE batched irfft (the reference runs them as two serial hffts,
+        # world_synth.py:251-295).
+        weight_p = 1 - apr
+        weight_a = jnp.where(0 < vuv, apr, 1.0)
+        mps = get_minimum_phase_spectrum(
+            jnp.stack((weight_p, weight_a)) * env)
         coeff = TAU * self.sample_rate / L * time_shift
         phase = jnp.exp(-1j * self.ramp[:D] * coeff[..., None])
         # hfft followed by the index mirror is algebraically
         # irfft(a) * L: h[-t] = L*irfft(conj a)[-t] = L*irfft(a)[t]
-        periodic = jnp.fft.fftshift(
-            jnp.fft.irfft(spectrum * phase, n=L) * L, axes=-1)
+        resp = jnp.fft.fftshift(
+            jnp.fft.irfft(jnp.stack((mps[0] * phase,
+                                     mps[1] * noise_spectrum)), n=L) * L,
+            axes=-1)
+        periodic, aperiodic = resp[0], resp[1]
 
         # RemoveDCComponent()
         dc_component = jnp.sum(periodic[..., H:], axis=-1, keepdims=True)
@@ -130,28 +176,6 @@ class WorldSynthesis(BaseNonFunctionalOp):
         periodic = jnp.concatenate(
             (dd[..., :H], periodic[..., H:] + dd[..., H:]), axis=-1)
         periodic = periodic * (0.5 < vuv)
-
-        # GetNoiseSpectrum() — noise is keyed per slot by the pulse's
-        # global sample position (batch row folded in), so any (dp, tp)
-        # sharding of the synthesis reproduces the identical stream
-        # (the reference consumes one sequential randn stream, which
-        # would make sharded and unsharded outputs diverge).
-        noise = self._slot_noise(time_index_global, span=span,
-                                 batch_offset=batch_offset,
-                                 length=periodic.shape[-1],
-                                 dtype=periodic.dtype)
-        mask = self.ramp < noise_size
-        noise = noise * mask
-        avg = jnp.sum(noise, axis=-1, keepdims=True) / jnp.where(
-            noise_size == 0, 1, noise_size)
-        noise = (noise - avg) * mask
-        noise_spectrum = jnp.fft.rfft(noise, n=L)
-
-        # GetAperiodicResponse()
-        weight = jnp.where(0 < vuv, apr, 1.0)
-        spectrum = get_minimum_phase_spectrum(weight * env) * noise_spectrum
-        aperiodic = jnp.fft.fftshift(
-            jnp.fft.irfft(spectrum, n=L) * L, axes=-1)
 
         response = (periodic * jnp.sqrt(noise_size) + aperiodic) / L
         return response * valid[..., None]

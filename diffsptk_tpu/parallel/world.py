@@ -77,7 +77,8 @@ class ShardedWorldVocoder:
             frame_period, sample_rate, fft_length, **(spec_kwargs or {}))
         self.synth = WorldSynthesis(
             frame_period, sample_rate, fft_length,
-            f0_ceil=max(f_max, 500.0) * 1.2, **(synth_kwargs or {}))
+            f0_ceil=max(f_max, 500.0) * 1.2, f0_floor=f_min,
+            **(synth_kwargs or {}))
 
     # ---------------------------------------------------------------- local
     def _batch_offset(self, n_local_rows: int):

@@ -94,9 +94,28 @@ def init_crepe_params(model: str = "full", seed: int = 0) -> dict:
     return params
 
 
-def load_params(weights, init_fn, expect: dict | None = None) -> dict:
-    """Load a parameter dict from .npz / torch checkpoint / dict, or fall
-    back to ``init_fn()`` with a warning when ``weights`` is None."""
+def bundled_weights_path(name: str):
+    """Path of a bundled checkpoint under diffsptk_tpu/assets, or None."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", name)
+    return path if os.path.isfile(path) else None
+
+
+def load_params(weights, init_fn, expect: dict | None = None,
+                bundled: str | None = None) -> dict:
+    """Load a parameter dict from .npz / torch checkpoint / dict.
+
+    ``weights=None`` falls back to the bundled checkpoint named
+    ``bundled`` (trained in-repo on synthetic pitched audio — see
+    tools/train_crepe_tiny.py; the reference instead downloads released
+    torchcrepe/penn weights, pitch.py:228,342).  Without a bundled file
+    a deterministic random init is used with a warning."""
+    if weights is None and bundled is not None:
+        path = bundled_weights_path(bundled)
+        if path is not None:
+            logger.info("using bundled checkpoint %s", path)
+            weights = path
     if weights is None:
         logger.warning(
             "no pretrained weights supplied; using deterministic random "
@@ -280,7 +299,8 @@ class PitchExtractionByCREPE:
 
         self.params = load_params(weights,
                                   lambda: init_crepe_params(model),
-                                  expect=init_crepe_params(model))
+                                  expect=init_crepe_params(model),
+                                  bundled=f"crepe_{model}_synth.npz")
         self.transition = to_device_array(crepe_transition(), dtype)
         freqs = np.arange(CREPE_WINDOW_SIZE // 2 + 1) \
             * (CREPE_SAMPLE_RATE / CREPE_WINDOW_SIZE)
@@ -427,7 +447,8 @@ class PitchExtractionByFCNF0:
         self.frame = Frame(PENN_WINDOW_SIZE, hop, mode="reflect")
         self.resample = Resampler(sample_rate, PENN_SAMPLE_RATE)
         self.params = load_params(weights, init_fcnf0_params,
-                                  expect=init_fcnf0_params())
+                                  expect=init_fcnf0_params(),
+                                  bundled="fcnf0_synth.npz")
         cents = PENN_CENTS_PER_BIN * np.arange(PENN_PITCH_BINS)
         freq = PENN_FMIN * 2.0 ** (cents / 1200.0)
         self.bin_mask = to_device_array(

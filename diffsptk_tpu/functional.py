@@ -3,6 +3,19 @@
 Each wrapper designs fresh state (LRU-cached on host) and forwards; under
 ``jax.jit`` the design constants fold away, so this path costs the same as
 the class path.
+
+Examples
+--------
+>>> import numpy as np
+>>> import diffsptk_tpu.functional as F
+>>> import diffsptk_tpu
+>>> x = diffsptk_tpu.ramp(3)
+>>> np.round(np.asarray(F.acorr(x, 2)), 1)       # same as Autocorrelation
+array([14.,  8.,  3.])
+>>> np.asarray(F.decimate(diffsptk_tpu.ramp(7), 2)).astype(int)
+array([0, 2, 4, 6])
+>>> round(float(F.rmse(diffsptk_tpu.step(3), diffsptk_tpu.ramp(3))), 3)
+1.225
 """
 
 from __future__ import annotations

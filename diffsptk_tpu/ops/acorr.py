@@ -12,6 +12,17 @@ from ..core import BaseOp, Design, check_size, filter_values
 
 
 class Autocorrelation(BaseOp):
+    """Framed waveform (..., L) -> autocorrelation (..., M+1).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.ramp(3)
+    >>> np.round(np.asarray(diffsptk_tpu.Autocorrelation(4, 2)(x)), 1)
+    array([14.,  8.,  3.])
+    """
+
     def __init__(self, frame_length: int, acr_order: int,
                  out_format: str | int = "naive") -> None:
         self.in_dim = frame_length

@@ -21,6 +21,17 @@ def _ste(fn, x):
 
 
 class ALawCompression(BaseOp):
+    """A-law compression (..., T) -> (..., T).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.ramp(4)
+    >>> np.round(np.asarray(diffsptk_tpu.ALawCompression(abs_max=4)(x)), 3)
+    array([0.   , 2.987, 3.493, 3.79 , 4.   ])
+    """
+
     def __init__(self, abs_max: float = 1.0, a: float = 87.6) -> None:
         self._setup(self._design(**filter_values(locals())))
 

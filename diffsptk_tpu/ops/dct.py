@@ -127,7 +127,16 @@ class _MatmulOp(BaseOp):
 
 
 class DiscreteCosineTransform(_MatmulOp):
-    """DCT (..., L) -> (..., L)."""
+    """DCT (..., L) -> (..., L).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.ramp(3)
+    >>> np.round(np.asarray(diffsptk_tpu.DCT(4)(x)), 3)
+    array([ 3.   , -2.23 , -0.   , -0.159])
+    """
 
     @staticmethod
     def _check(length: int, dct_type: int) -> None:

@@ -64,7 +64,19 @@ def design_delta_window(seed, static_out: bool = True) -> np.ndarray:
 
 
 class Delta(BaseOp):
-    """(..., T, D) -> (..., T, D*H) delta-augmented features."""
+    """(..., T, D) -> (..., T, D*H) delta-augmented features.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> x = jnp.asarray([[1.0, 2.0], [4.0, 8.0], [16.0, 32.0]])
+    >>> np.round(np.asarray(diffsptk_tpu.Delta([[-0.5, 0, 0.5]])(x)), 2)
+    array([[ 1. ,  2. ,  1.5,  3. ],
+           [ 4. ,  8. ,  7.5, 15. ],
+           [16. , 32. ,  6. , 12. ]])
+    """
 
     def __init__(self, seed=[[-0.5, 0.0, 0.5]], static_out: bool = True,
                  dtype=None) -> None:

@@ -144,7 +144,19 @@ def _viterbi_np(D, lengths, steps, two_step):
 
 
 class DynamicTimeWarping(BaseOp):
-    """Soft-DTW distance (and optional Viterbi path) between sequences."""
+    """Soft-DTW distance (and optional Viterbi path) between sequences.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> dtw = diffsptk_tpu.DTW(p=1)
+    >>> d = dtw(jnp.asarray([[0.0], [1.0], [2.0]]),
+    ...         jnp.asarray([[0.0], [2.0]]))
+    >>> np.round(np.asarray(d), 3)
+    array([0.2])
+    """
 
     _input_names = ("x", "y")
 

@@ -75,7 +75,19 @@ def generate_square(phase, bipolar):
 
 
 class ExcitationGeneration(BaseOp):
-    """Pitch (..., N) in samples -> excitation (..., N*P)."""
+    """Pitch (..., N) in samples -> excitation (..., N*P).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> excite = diffsptk_tpu.ExcitationGeneration(
+    ...     2, voiced_region="pulse", unvoiced_region="zeros")
+    >>> p = jnp.asarray([2.0, 2.0, 3.0, 3.0])
+    >>> np.round(np.asarray(excite(p)), 3)
+    array([1.414, 0.   , 1.414, 0.   , 1.732, 0.   , 0.   , 1.732])
+    """
 
     _input_names = ("p",)
 

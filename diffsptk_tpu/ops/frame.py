@@ -27,6 +27,20 @@ class Frame(BaseOp):
 
     Parameters: frame_length L, frame_period P, center (pad both sides so
     frames are centered), zmean (per-frame mean removal), mode (padding).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.ramp(5)
+    >>> np.asarray(diffsptk_tpu.Frame(5, 2)(x)).astype(int)
+    array([[0, 0, 0, 1, 2],
+           [0, 1, 2, 3, 4],
+           [2, 3, 4, 5, 0]])
+    >>> np.asarray(diffsptk_tpu.Frame(4, 2, center=False)(x)).astype(int)
+    array([[0, 1, 2, 3],
+           [2, 3, 4, 5],
+           [4, 5, 0, 0]])
     """
 
     def __init__(self, frame_length: int, frame_period: int, *,

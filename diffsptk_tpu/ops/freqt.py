@@ -29,7 +29,18 @@ def design_freqt(in_order: int, out_order: int, alpha: float) -> np.ndarray:
 
 
 class FrequencyTransform(BaseOp):
-    """(..., M1+1) cepstrum -> (..., M2+1) warped cepstrum."""
+    """(..., M1+1) cepstrum -> (..., M2+1) warped cepstrum.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> c = jnp.asarray([1.0, 0.5, 0.25])
+    >>> ct = diffsptk_tpu.FrequencyTransform(2, 3, alpha=0.3)(c)
+    >>> np.round(np.asarray(ct), 3)
+    array([ 1.172,  0.592,  0.03 , -0.071])
+    """
 
     _input_names = ("c",)
 

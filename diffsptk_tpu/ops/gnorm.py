@@ -31,6 +31,20 @@ def _check(cep_order: int, gamma: float, c: int | None) -> None:
 
 
 class GeneralizedCepstrumGainNormalization(BaseOp):
+    """Generalized cepstrum (..., M+1) -> gain-normalized (..., M+1).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> c = jnp.asarray([1.0, 0.5, 0.25])
+    >>> g = diffsptk_tpu.GeneralizedCepstrumGainNormalization(
+    ...     2, gamma=-0.5)(c)
+    >>> np.round(np.asarray(g), 3)
+    array([4. , 1. , 0.5])
+    """
+
     def __init__(self, cep_order: int, gamma: float = 0.0,
                  c: int | None = None) -> None:
         self.in_dim = cep_order + 1

@@ -45,7 +45,21 @@ def as_chunks(x, batch_size):
 
 
 class GaussianMixtureModeling(BaseLearnerOp):
-    """Batched EM with diag/full/block covariance and UBM-MAP smoothing."""
+    """Batched EM with diag/full/block covariance and UBM-MAP smoothing.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> rng = np.random.default_rng(0)
+    >>> x = jnp.asarray(np.concatenate([rng.normal(-3, 0.4, (100, 2)),
+    ...                                 rng.normal(+3, 0.4, (100, 2))]))
+    >>> gmm = diffsptk_tpu.GMM(1, 2, n_iter=20, seed=0)
+    >>> (w, mu, sigma), ll = gmm(x)
+    >>> np.round(np.sort(np.asarray(mu).ravel()), 1)
+    array([-3. , -3. ,  2.9,  3. ])
+    """
 
     def __init__(self, order: int, n_mixture: int, *, n_iter: int = 100,
                  eps: float = 1e-5, weight_floor: float = 1e-5,

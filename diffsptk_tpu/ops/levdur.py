@@ -18,7 +18,18 @@ from ..utils.linalg import remove_gain, spd_solve, symmetric_toeplitz
 
 
 class LevinsonDurbin(BaseOp):
-    """Autocorrelation (..., M+1) -> LPC [K, a1..aM]."""
+    """Autocorrelation (..., M+1) -> LPC [K, a1..aM].
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> r = diffsptk_tpu.functional.acorr(diffsptk_tpu.ramp(3), 2)
+    >>> np.round(np.asarray(r), 1)
+    array([14.,  8.,  3.])
+    >>> np.round(np.asarray(diffsptk_tpu.LevinsonDurbin(2)(r)), 3)
+    array([ 3.028, -0.667,  0.167])
+    """
 
     _input_names = ("r",)
 

@@ -10,7 +10,16 @@ from .levdur import LevinsonDurbin
 
 
 class LinearPredictiveCodingAnalysis(BaseOp):
-    """Framed waveform (..., L) -> gain + LPC (..., M+1)."""
+    """Framed waveform (..., L) -> gain + LPC (..., M+1).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.nrand(31)
+    >>> np.round(np.asarray(diffsptk_tpu.LPC(32, 2)(x)), 3)
+    array([ 5.527,  0.105, -0.145])
+    """
 
     def __init__(self, frame_length: int, lpc_order: int,
                  eps: float | None = None, dtype=None) -> None:

@@ -22,6 +22,24 @@ def _check_order_alpha(cep_order: int, alpha: float) -> None:
 
 
 class MelCepstrumToMLSADigitalFilterCoefficients(BaseOp):
+    """Mel-cepstrum (..., M+1) -> MLSA filter coefficients (..., M+1).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> mc = jnp.asarray([1.0, 0.5, 0.25])
+    >>> b = diffsptk_tpu.MelCepstrumToMLSADigitalFilterCoefficients(
+    ...     2, alpha=0.4)(mc)
+    >>> np.round(np.asarray(b), 3)
+    array([0.84, 0.4 , 0.25])
+    >>> mc2 = diffsptk_tpu.MLSADigitalFilterCoefficientsToMelCepstrum(
+    ...     2, alpha=0.4)(b)
+    >>> np.round(np.asarray(mc2), 3)
+    array([1.  , 0.5 , 0.25])
+    """
+
     _input_names = ("mc",)
 
     def __init__(self, cep_order: int, alpha: float = 0.0, dtype=None) -> None:

@@ -60,7 +60,18 @@ class CoefficientsFrequencyTransform(BaseOp):
 
 
 class MelCepstralAnalysis(BaseOp):
-    """Power spectrum (..., L/2+1) -> mel-cepstrum (..., M+1)."""
+    """Power spectrum (..., L/2+1) -> mel-cepstrum (..., M+1).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(16, eps=0)(diffsptk_tpu.nrand(15))
+    >>> mcep = diffsptk_tpu.MelCepstralAnalysis(
+    ...     fft_length=16, cep_order=3, alpha=0.1, n_iter=2)
+    >>> np.round(np.asarray(mcep(sp)), 3)
+    array([ 1.055, -0.339,  0.362,  0.626])
+    """
 
     def __init__(self, *, fft_length: int, cep_order: int,
                  alpha: float = 0, n_iter: int = 0, dtype=None) -> None:

@@ -107,6 +107,16 @@ class Delay(BaseOp):
 
 
 class Entropy(BaseOp):
+    """Probabilities (..., K) -> entropy (...,).
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> float(diffsptk_tpu.Entropy(out_format="bit")(jnp.ones(4) / 4))
+    2.0
+    """
+
     _input_names = ("p",)
 
     def __init__(self, out_format: str | int = "nat") -> None:

@@ -28,7 +28,17 @@ def _make_formatter(out_format):
 
 class Spectrum(BaseOp):
     """Spectrum of b (numerator) and/or a (denominator), (..., N) ->
-    (..., L/2+1)."""
+    (..., L/2+1).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(8, eps=0)
+    >>> np.round(np.asarray(sp(jnp.asarray([1.0, 0.5, 0.25]))), 4)
+    array([3.0625, 2.1964, 0.8125, 0.4286, 0.5625])
+    """
 
     _input_names = ("b", "a")
 

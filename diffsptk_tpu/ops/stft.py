@@ -33,7 +33,15 @@ def _normalize_learnable(learnable):
 
 
 class ShortTimeFourierTransform(BaseOp):
-    """(..., T) -> (..., T/P, L/2+1) spectrogram."""
+    """(..., T) -> (..., T/P, L/2+1) spectrogram.
+
+    Examples
+    --------
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.nrand(63)
+    >>> diffsptk_tpu.STFT(12, 10, 16)(x).shape
+    (7, 9)
+    """
 
     def __init__(self, frame_length: int, frame_period: int, fft_length: int,
                  *, center: bool = True, zmean: bool = False,
@@ -92,7 +100,19 @@ class ShortTimeFourierTransform(BaseOp):
 
 
 class InverseShortTimeFourierTransform(BaseOp):
-    """(..., T/P, L/2+1) complex -> (..., T) waveform via WOLA."""
+    """(..., T/P, L/2+1) complex -> (..., T) waveform via WOLA.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.nrand(63)
+    >>> kw = dict(frame_length=16, frame_period=8, fft_length=32)
+    >>> S = diffsptk_tpu.STFT(**kw, out_format="complex")(x)
+    >>> y = diffsptk_tpu.ISTFT(**kw)(S, out_length=64)
+    >>> bool(jnp.allclose(y[:-8], x[:-8], atol=1e-6))  # tail lacks WOLA
+    True
+    """
 
     _input_names = ("y", "out_length")
 

@@ -24,7 +24,17 @@ def _nearest(x: jnp.ndarray, codebook: jnp.ndarray):
 
 
 class VectorQuantization(BaseNonFunctionalOp):
-    """x (..., M+1) -> (xq, indices, commitment loss)."""
+    """x (..., M+1) -> (xq, indices, commitment loss).
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> vq = diffsptk_tpu.VectorQuantization(1, 4, seed=1)
+    >>> xq, idx, loss = vq(jnp.asarray([0.1, 0.2]))
+    >>> xq.shape, idx.shape
+    ((2,), ())
+    """
 
     def __init__(self, order: int, codebook_size: int, *, seed: int = 0,
                  beta: float = 0.25, dtype=None, **kwargs) -> None:

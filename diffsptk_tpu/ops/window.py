@@ -75,7 +75,17 @@ def design_window(length: int, window: str | int = "blackman",
 
 class Window(BaseOp):
     """Apply a window to framed input (..., L1) -> (..., L2) with zero-pad
-    to ``out_length``."""
+    to ``out_length``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> w = diffsptk_tpu.Window(5, window="hamming", norm="none")
+    >>> np.round(np.asarray(w(jnp.ones(5))), 2)
+    array([0.08, 0.54, 1.  , 0.54, 0.08])
+    """
 
     def __init__(self, in_length: int, out_length: int | None = None, *,
                  window: str | int = "blackman", norm: str | int = "power",

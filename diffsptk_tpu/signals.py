@@ -4,6 +4,21 @@ JAX counterparts of the reference generators (diffsptk/signals.py:22-436).
 Random generators take an explicit PRNG ``key`` (JAX has no global RNG); if
 omitted, a fresh key is drawn from a module-level counter for scripting
 convenience.
+
+Examples
+--------
+>>> import numpy as np
+>>> import diffsptk_tpu
+>>> np.asarray(diffsptk_tpu.impulse(3)).astype(int)
+array([1, 0, 0, 0])
+>>> np.asarray(diffsptk_tpu.step(3)).astype(int)
+array([1, 1, 1, 1])
+>>> np.asarray(diffsptk_tpu.ramp(4)).astype(int)
+array([0, 1, 2, 3, 4])
+>>> np.round(np.asarray(diffsptk_tpu.sin(4, period=4)), 2)
+array([ 0.,  1.,  0., -1., -0.])
+>>> diffsptk_tpu.nrand(15).shape
+(16,)
 """
 
 from __future__ import annotations

@@ -41,8 +41,17 @@ def _sync(out) -> None:
 class Throughput:
     """Measure samples/s of a jitted callable.
 
-    >>> meter = Throughput(jax.jit(stft))
+    Examples
+    --------
+    >>> import jax
+    >>> import diffsptk_tpu
+    >>> from diffsptk_tpu.utils.profiling import Throughput
+    >>> x = diffsptk_tpu.nrand(1599)
+    >>> meter = Throughput(jax.jit(diffsptk_tpu.STFT(100, 50, 128)),
+    ...                    warmup=1, iters=2)
     >>> sps = meter.measure(x, n_samples=x.size)
+    >>> sps > 0
+    True
     """
 
     def __init__(self, fn, *, warmup: int = 3, iters: int = 10):

@@ -80,6 +80,13 @@ def plateau(length: int, first: float, middle: float, last: float | None = None,
 _SPD_UNROLL_MAX = 12
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def _spd_solve_batch_minor(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Small-n SPD solve with the batch on the minor (lane) axis.
 
@@ -139,6 +146,13 @@ def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     n = A.shape[-1]
     batch = int(np.prod(A.shape[:-2])) if A.ndim > 2 else 1
+    if (A.dtype == jnp.float32 and _SPD_UNROLL_MAX < n <= 64
+            and batch >= 2048 and _on_tpu()):
+        # Large batches of mid-size systems (the mcep/mgcep Newton
+        # solves): VMEM-resident Pallas factor+solve — one HBM read of
+        # A instead of ~2n masked-sweep passes.
+        from ..kernels.pallas_solve import spd_solve_tpu
+        return spd_solve_tpu(A, b)
     if n <= _SPD_UNROLL_MAX and batch >= 8:
         return _spd_solve_batch_minor(A, b)
     rows = jnp.arange(n)

@@ -104,3 +104,54 @@ def test_overlap_add_fallback_matches_explicit():
             t = int(tidx[b, p])
             ref[b, t:t + L] += np.asarray(resp[b, p])
     np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_spd_solve_interpreter():
+    """VMEM-resident SPD solve == numpy solve (interpret mode on CPU);
+    VJP matches the differentiable XLA path."""
+    import jax
+    import jax.numpy as jnp
+    from diffsptk_tpu.kernels.pallas_solve import (spd_solve_pallas,
+                                                   spd_solve_tpu)
+    from diffsptk_tpu.utils.linalg import spd_solve
+
+    rng = np.random.default_rng(3)
+    for batch, n in [(7, 26), (600, 13)]:
+        M = rng.standard_normal((batch, n, n))
+        A = (M @ np.swapaxes(M, -1, -2) + n * np.eye(n)).astype(np.float32)
+        b = rng.standard_normal((batch, n)).astype(np.float32)
+        x = np.asarray(spd_solve_pallas(jnp.asarray(A), jnp.asarray(b),
+                                        interpret=True))
+        want = np.linalg.solve(A.astype(np.float64),
+                               b[..., None].astype(np.float64))[..., 0]
+        rel = np.abs(x - want).max() / np.abs(want).max()
+        assert rel < 1e-4, (batch, n, rel)
+
+    # VJP: compare cotangents against the XLA spd_solve path (f32)
+    batch, n = 5, 8
+    M = rng.standard_normal((batch, n, n))
+    A = jnp.asarray((M @ np.swapaxes(M, -1, -2) + n * np.eye(n)),
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+
+    def loss_pallas(A, b):
+        return jnp.sum(jnp.sin(spd_solve_tpu(A, b)))
+
+    def loss_ref(A, b):
+        return jnp.sum(jnp.sin(spd_solve(A, b)))
+
+    # interpret mode: call the underlying pallas fn through the vjp
+    import unittest.mock as mock
+    from diffsptk_tpu.kernels import pallas_solve as ps
+    orig = ps.spd_solve_pallas
+    with mock.patch.object(ps, "spd_solve_pallas",
+                           lambda A, b: orig(A, b, interpret=True)):
+        gA, gb = jax.grad(loss_pallas, argnums=(0, 1))(A, b)
+    gA2, gb2 = jax.grad(loss_ref, argnums=(0, 1))(A, b)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb2),
+                               rtol=1e-3, atol=1e-4)
+    # only the symmetrized A-cotangent is contractual: every caller
+    # builds A by symmetric gathers (toeplitz/hankel/HtWH), whose VJP
+    # sums the (i, j) and (j, i) contributions
+    sym = lambda G: np.asarray(G) + np.swapaxes(np.asarray(G), -1, -2)
+    np.testing.assert_allclose(sym(gA), sym(gA2), rtol=1e-3, atol=1e-4)

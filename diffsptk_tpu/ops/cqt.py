@@ -85,15 +85,31 @@ class ConstantQTransform(BaseNonFunctionalOp):
                 fp.append(fp[i])
                 sr.append(sr[i])
 
+        # One SHARED FFT length across octaves (the max natural size):
+        # the Parseval inner product with each compact wavelet is
+        # invariant to padding, and a single plan size cuts the
+        # per-octave FFT compilation the remote AOT compiler must do.
+        slices = [slice(-n_filter * (i + 1),
+                        None if i == 0 else (-n_filter * i))
+                  for i in range(n_octave)]
+        naturals = [vqt_filter_fft(sr[i], freqs[slices[i]], filter_scale,
+                                   norm, sparsity, window=window,
+                                   alpha=alpha[slices[i]])
+                    for i in range(n_octave)]
+        shared_fft = max(nf for _, nf, _ in naturals)
+
         self.fft_bases = []
         self.transforms = []
         self.resamplers = []
         for i in range(n_octave):
-            sl = slice(-n_filter * (i + 1),
-                       None if i == 0 else (-n_filter * i))
-            fft_basis, fft_length, _ = vqt_filter_fft(
-                sr[i], freqs[sl], filter_scale, norm, sparsity,
-                window=window, alpha=alpha[sl])
+            sl = slices[i]
+            if naturals[i][1] == shared_fft:
+                fft_basis, fft_length = naturals[i][0], naturals[i][1]
+            else:
+                fft_basis, fft_length, _ = vqt_filter_fft(
+                    sr[i], freqs[sl], filter_scale, norm, sparsity,
+                    window=window, alpha=alpha[sl],
+                    force_n_fft=shared_fft)
             fft_basis = fft_basis * np.sqrt(sample_rate / sr[i])
             self.fft_bases.append(to_device_array(fft_basis.T, dtype))
             self.transforms.append(ShortTimeFourierTransform(
@@ -178,17 +194,29 @@ class InverseConstantQTransform(BaseNonFunctionalOp):
         fp.reverse()
         sr.reverse()
 
+        # shared FFT length across octaves (see ConstantQTransform)
+        _slices = [slice(B * i, B * i + min(B, K - B * i))
+                   for i in range(n_octave)]
+        naturals = [vqt_filter_fft(sr[i], freqs[_slices[i]], filter_scale,
+                                   norm, sparsity, window=window,
+                                   alpha=alpha[_slices[i]])
+                    for i in range(n_octave)]
+        shared_fft = max(nf for _, nf, _ in naturals)
+
         self.slices = []
         self.fft_bases = []
         self.transforms = []
         self.resamplers = []
         for i in range(n_octave):
-            n_filter = min(B, K - B * i)
-            sl = slice(B * i, B * i + n_filter)
+            sl = _slices[i]
             self.slices.append(sl)
-            fft_basis, fft_length, _ = vqt_filter_fft(
-                sr[i], freqs[sl], filter_scale, norm, sparsity,
-                window=window, alpha=alpha[sl])
+            if naturals[i][1] == shared_fft:
+                fft_basis, fft_length = naturals[i][0], naturals[i][1]
+            else:
+                fft_basis, fft_length, _ = vqt_filter_fft(
+                    sr[i], freqs[sl], filter_scale, norm, sparsity,
+                    window=window, alpha=alpha[sl],
+                    force_n_fft=shared_fft)
             fft_basis = np.conj(fft_basis)
             freq_power = 1.0 / np.sum(np.abs(fft_basis) ** 2, axis=1)
             freq_power *= fft_length / lengths[sl]

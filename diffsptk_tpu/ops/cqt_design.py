@@ -110,14 +110,30 @@ def wavelet(freqs: np.ndarray, sr: float, window: str = "hann",
 def vqt_filter_fft(sr: float, freqs: np.ndarray, filter_scale: float,
                    norm: float | None, sparsity: float,
                    hop_length: int | None = None, window: str = "hann",
-                   gamma: float = 0, alpha=None):
-    """FFT-domain basis (n_filters, n_fft//2+1), kept dense."""
+                   gamma: float = 0, alpha=None,
+                   force_n_fft: int | None = None):
+    """FFT-domain basis (n_filters, n_fft//2+1), kept dense.
+
+    ``force_n_fft`` zero-pads the wavelets into a larger common FFT
+    length: the response Σ_f X[f] Ψ*[f] / n_fft is a Parseval inner
+    product with the (compact-support) wavelet, so it is invariant to
+    the padded length — sharing ONE length across all octaves collapses
+    the per-octave FFT plans the compiler must build.
+    """
     basis, lengths = wavelet(freqs, sr, window, filter_scale, True, norm,
                              gamma, alpha)
     n_fft = basis.shape[1]
     if (hop_length is not None
             and n_fft < 2.0 ** (1 + np.ceil(np.log2(hop_length)))):
         n_fft = int(2.0 ** (1 + np.ceil(np.log2(hop_length))))
+    if force_n_fft is not None:
+        if force_n_fft < n_fft:
+            raise ValueError("force_n_fft must be >= the natural length.")
+        pad = force_n_fft - basis.shape[1]
+        # keep the wavelets centered in the padded window (frames are
+        # center-aligned)
+        basis = np.pad(basis, ((0, 0), (pad // 2, pad - pad // 2)))
+        n_fft = force_n_fft
     basis = basis * (lengths[:, None] / float(n_fft))
     fft_basis = np.fft.fft(basis, n=n_fft, axis=1)[:, : n_fft // 2 + 1]
     # match the reference's complex64 basis storage (cqt.py:221 stores the

@@ -423,7 +423,21 @@ class AperiodicityExtractionByD4C:
 
 class Aperiodicity(BaseNonFunctionalOp):
     """(waveform (B?, T), f0 in Hz (B?, T/P)) -> aperiodicity
-    (B?, T/P, L/2+1) (or band aperiodicity when fft_length is None)."""
+    (B?, T/P, L/2+1) (or band aperiodicity when fft_length is None).
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> t = jnp.arange(3200.0) / 16000
+    >>> x = jnp.sin(2 * jnp.pi * 220 * t)
+    >>> f0 = diffsptk_tpu.Pitch(80, 16000, algorithm="yin",
+    ...                         out_format="f0", f_min=80, f_max=400)(x)
+    >>> A = diffsptk_tpu.Aperiodicity(80, 16000, 1024,
+    ...                               algorithm="tandem")(x, f0)
+    >>> A.shape
+    (40, 513)
+    """
 
     def __init__(self, frame_period: int, sample_rate: int,
                  fft_length: int | None = None, algorithm: str = "tandem",

@@ -19,7 +19,16 @@ from ..utils.linalg import cexp, clog
 
 class CepstralAnalysis(BaseOp):
     """Power spectrum (..., L/2+1) -> cepstrum (..., M+1) with iterative
-    aliasing correction (fftcep)."""
+    aliasing correction (fftcep).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(16, eps=0)(diffsptk_tpu.ramp(19))
+    >>> np.round(np.asarray(diffsptk_tpu.CepstralAnalysis(16, 3)(sp)), 3)
+    array([2.725, 0.906, 0.408, 0.244])
+    """
 
     def __init__(self, fft_length: int, cep_order: int, *,
                  accel: float = 0.0, n_iter: int = 0) -> None:
@@ -70,7 +79,18 @@ class CepstralAnalysis(BaseOp):
 
 
 class CepstrumToAutocorrelation(BaseOp):
-    """c (..., M+1) -> autocorrelation (..., M2+1): hfft(exp(2 Re rfft(c)))."""
+    """c (..., M+1) -> autocorrelation (..., M2+1): hfft(exp(2 Re rfft(c))).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> c = jnp.asarray([1.0, 0.5, 0.25, 0.125])
+    >>> np.round(np.asarray(
+    ...     diffsptk_tpu.CepstrumToAutocorrelation(3, 3, n_fft=16)(c)), 3)
+    array([10.982,  6.171,  4.301,  2.745])
+    """
 
     _input_names = ("c",)
 
@@ -105,7 +125,19 @@ class CepstrumToAutocorrelation(BaseOp):
 
 
 class CepstrumToMinimumPhaseImpulseResponse(BaseOp):
-    """c -> h = Re ifft(cexp(fft(c)))."""
+    """c -> h = Re ifft(cexp(fft(c))).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> c = jnp.asarray([1.0, 0.5, 0.25, 0.125])
+    >>> np.round(np.asarray(
+    ...     diffsptk_tpu.CepstrumToMinimumPhaseImpulseResponse(
+    ...         3, 6, n_fft=16)(c)), 3)
+    array([2.718, 1.359, 1.019, 0.736, 0.347, 0.185])
+    """
 
     _input_names = ("c",)
 
@@ -140,7 +172,23 @@ class CepstrumToMinimumPhaseImpulseResponse(BaseOp):
 
 
 class MinimumPhaseImpulseResponseToCepstrum(BaseOp):
-    """h -> c = Re ifft(log|fft(h)|), doubled above quefrency 0."""
+    """h -> c = Re ifft(log|fft(h)|), doubled above quefrency 0.
+
+    Inverse of :class:`CepstrumToMinimumPhaseImpulseResponse`:
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> c = jnp.asarray([1.0, 0.5, 0.25, 0.125])
+    >>> h = diffsptk_tpu.CepstrumToMinimumPhaseImpulseResponse(
+    ...     3, 16, n_fft=16)(c)
+    >>> np.round(np.asarray(
+    ...     diffsptk_tpu.MinimumPhaseImpulseResponseToCepstrum(
+    ...         16, 3, n_fft=16)(h)), 3)
+    array([1.   , 0.5  , 0.25 , 0.125])
+    """
 
     _input_names = ("h",)
 

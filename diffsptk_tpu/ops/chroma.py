@@ -39,7 +39,19 @@ def design_chroma(sr: float, n_fft: int, n_chroma: int = 12,
 
 
 class ChromaFilterBankAnalysis(BaseOp):
-    """Power spectrum (..., L/2+1) -> chroma (..., C), L2-normalized."""
+    """Power spectrum (..., L/2+1) -> chroma (..., C), L2-normalized.
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> ch = diffsptk_tpu.ChromaFilterBankAnalysis(
+    ...     fft_length=64, n_channel=12, sample_rate=8000)
+    >>> float(np.round(np.max(np.asarray(ch(sp))), 3))   # L2-normalized
+    1.0
+    """
 
     def __init__(self, *, fft_length: int, n_channel: int, sample_rate: int,
                  norm: float = float("inf"), use_power: bool = True,

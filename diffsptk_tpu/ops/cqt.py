@@ -29,7 +29,16 @@ from .stft import (
 
 
 class ConstantQTransform(BaseNonFunctionalOp):
-    """Waveform (..., T) -> CQT (..., T/P, K) complex."""
+    """Waveform (..., T) -> CQT (..., T/P, K) complex.
+
+    Examples
+    --------
+    >>> import jax
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.nrand(511, key=jax.random.PRNGKey(0))
+    >>> diffsptk_tpu.CQT(64, 16000, n_bin=12)(x).shape
+    (8, 12)
+    """
 
     def __init__(self, frame_period: int, sample_rate: int, *,
                  f_min: float = 32.7, n_bin: int = 84,
@@ -155,7 +164,17 @@ class ConstantQTransform(BaseNonFunctionalOp):
 
 
 class InverseConstantQTransform(BaseNonFunctionalOp):
-    """CQT (..., T/P, K) -> waveform (..., T)."""
+    """CQT (..., T/P, K) -> waveform (..., T).
+
+    Examples
+    --------
+    >>> import jax
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.nrand(511, key=jax.random.PRNGKey(0))
+    >>> c = diffsptk_tpu.CQT(64, 16000, n_bin=12)(x)
+    >>> diffsptk_tpu.ICQT(64, 16000, n_bin=12)(c, out_length=512).shape
+    (512,)
+    """
 
     def __init__(self, frame_period: int, sample_rate: int, *,
                  f_min: float = 32.7, n_bin: int = 84,

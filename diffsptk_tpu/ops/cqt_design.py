@@ -37,6 +37,14 @@ def window_bandwidth(window: str, n: int = 1000) -> float:
 
 def cqt_frequencies(n_bins: int, fmin: float, bins_per_octave: int = 12,
                     tuning: float = 0.0) -> np.ndarray:
+    """Geometrically spaced center frequencies.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> np.round(cqt_frequencies(4, 55.0), 2)
+    array([55.  , 58.27, 61.74, 65.41])
+    """
     correction = 2.0 ** (float(tuning) / bins_per_octave)
     return correction * fmin * 2.0 ** (np.arange(n_bins, dtype=float)
                                        / bins_per_octave)

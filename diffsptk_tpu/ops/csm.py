@@ -14,7 +14,21 @@ from .rootpol import PolynomialToRoots
 
 
 class AutocorrelationToCompositeSinusoidalModelCoefficients(BaseOp):
-    """r (..., M+1), M odd -> [frequencies, intensities] (..., M+1)."""
+    """r (..., M+1), M odd -> [frequencies, intensities] (..., M+1).
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> r = diffsptk_tpu.Autocorrelation(16, 5)(
+    ...     diffsptk_tpu.nrand(15, key=jax.random.PRNGKey(1)))
+    >>> w = diffsptk_tpu.AutocorrelationToCompositeSinusoidalModelCoefficients(5)(r)
+    >>> np.round(np.asarray(w), 3)
+    array([0.595, 1.506, 2.717, 4.803, 2.7  , 3.316])
+    >>> back = diffsptk_tpu.CompositeSinusoidalModelCoefficientsToAutocorrelation(5)(w)
+    >>> bool(np.allclose(np.asarray(back), np.asarray(r), atol=1e-6))
+    True
+    """
 
     _input_names = ("r",)
 

@@ -30,7 +30,17 @@ def _impulse_response(b: np.ndarray, a: np.ndarray, length: int) -> np.ndarray:
 
 
 class InfiniteImpulseResponseDigitalFilter(BaseOp):
-    """y = (B(z)/A(z)) x with static coefficients."""
+    """y = (B(z)/A(z)) x with static coefficients.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> f = diffsptk_tpu.InfiniteImpulseResponseDigitalFilter(
+    ...     b=[1.0, -0.5], a=[1.0, -0.9])
+    >>> np.round(np.asarray(f(diffsptk_tpu.impulse(4))), 3)
+    array([1.   , 0.4  , 0.36 , 0.324, 0.292])
+    """
 
     def __init__(self, b=None, a=None, ir_length: int | None = None,
                  learnable: bool = False, dtype=None) -> None:
@@ -73,7 +83,17 @@ class InfiniteImpulseResponseDigitalFilter(BaseOp):
 
 
 class SecondOrderDigitalFilter(BaseOp):
-    """Biquad defined by pole/zero (frequency, bandwidth) pairs."""
+    """Biquad defined by pole/zero (frequency, bandwidth) pairs.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> f = diffsptk_tpu.SecondOrderDigitalFilter(
+    ...     16000, pole_frequency=1000, pole_bandwidth=200)
+    >>> np.round(np.asarray(f(diffsptk_tpu.impulse(4))), 3)
+    array([1.   , 1.777, 2.232, 2.323, 2.063])
+    """
 
     def __init__(self, sample_rate: int, *, pole_frequency=None,
                  pole_bandwidth=None, zero_frequency=None,

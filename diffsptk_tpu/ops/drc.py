@@ -44,6 +44,23 @@ def compexp_gain(x_rms: jnp.ndarray, comp_thresh, comp_ratio, exp_thresh,
 
 
 class DynamicRangeCompression(BaseOp):
+    """Feed-forward compressor: gain computer + smoothed envelope
+    (reference: diffsptk/modules/drc.py, torchcomp-backed there; here the
+    envelope recursion rides the first-order Pallas scan).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> drc = diffsptk_tpu.DynamicRangeCompression(
+    ...     sample_rate=16000, threshold=-30, ratio=4)
+    >>> x = 0.5 * jnp.sin(2 * jnp.pi * 440 * jnp.arange(160.0) / 16000)
+    >>> y = drc(x)
+    >>> bool(float(jnp.max(jnp.abs(y))) < 0.5)   # peaks compressed
+    True
+    """
+
     def __init__(self, *, sample_rate: int, threshold: float = -20,
                  ratio: float = 2, attack_time: float = 1,
                  release_time: float = 500, makeup_gain: float = 0,

@@ -97,7 +97,19 @@ def _check_fbank(fft_length, n_channel, sample_rate, f_min, f_max, floor,
 
 
 class MelFilterBankAnalysis(BaseOp):
-    """Power spectrum (..., L/2+1) -> filterbank output (..., C) (+ energy)."""
+    """Power spectrum (..., L/2+1) -> filterbank output (..., C) (+ energy).
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> fb = diffsptk_tpu.MelFilterBankAnalysis(
+    ...     fft_length=64, n_channel=4, sample_rate=8000)
+    >>> np.round(np.asarray(fb(sp)), 3)
+    array([2.896, 3.397, 3.826, 4.414])
+    """
 
     def __init__(self, *, fft_length: int, n_channel: int, sample_rate: int,
                  f_min: float = 0, f_max: float | None = None,
@@ -155,7 +167,20 @@ class MelFilterBankAnalysis(BaseOp):
 
 
 class InverseMelFilterBankAnalysis(BaseOp):
-    """Filterbank output -> power spectrum via pseudo-inverse."""
+    """Filterbank output -> power spectrum via pseudo-inverse.
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> y = diffsptk_tpu.MelFilterBankAnalysis(
+    ...     fft_length=64, n_channel=4, sample_rate=8000)(sp)
+    >>> diffsptk_tpu.InverseMelFilterBankAnalysis(
+    ...     n_channel=4, fft_length=64, sample_rate=8000)(y).shape
+    (33,)
+    """
 
     _input_names = ("y",)
 
@@ -197,7 +222,19 @@ class InverseMelFilterBankAnalysis(BaseOp):
 
 
 class MelFrequencyCepstralCoefficientsAnalysis(BaseOp):
-    """Power spectrum -> MFCC (..., M) with liftering, c0/E options."""
+    """Power spectrum -> MFCC (..., M) with liftering, c0/E options.
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> mfcc = diffsptk_tpu.MelFrequencyCepstralCoefficientsAnalysis(
+    ...     fft_length=64, mfcc_order=3, n_channel=8, sample_rate=8000)
+    >>> np.round(np.asarray(mfcc(sp)), 3)
+    array([-1.652,  0.178,  0.029])
+    """
 
     def __init__(self, *, fft_length: int, mfcc_order: int, n_channel: int,
                  sample_rate: int, lifter: int = 1, f_min: float = 0,
@@ -270,7 +307,19 @@ class MelFrequencyCepstralCoefficientsAnalysis(BaseOp):
 
 
 class PerceptualLinearPredictiveCoefficientsAnalysis(BaseOp):
-    """Power spectrum -> PLP coefficients (..., M)."""
+    """Power spectrum -> PLP coefficients (..., M).
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> plp = diffsptk_tpu.PerceptualLinearPredictiveCoefficientsAnalysis(
+    ...     fft_length=64, plp_order=3, n_channel=8, sample_rate=8000)
+    >>> np.round(np.asarray(plp(sp)), 3)
+    array([-0.52 , -0.107, -0.036])
+    """
 
     def __init__(self, *, fft_length: int, plp_order: int, n_channel: int,
                  sample_rate: int, compression_factor: float = 0.33,

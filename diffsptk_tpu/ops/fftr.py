@@ -30,7 +30,17 @@ def _make_formatter(out_format):
 
 
 class RealValuedFastFourierTransform(BaseOp):
-    """rfft of a real signal (..., N) -> (..., L/2+1) with output formatting."""
+    """rfft of a real signal (..., N) -> (..., L/2+1) with output formatting.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> fftr = diffsptk_tpu.RealValuedFastFourierTransform(
+    ...     8, out_format="amplitude")
+    >>> np.round(np.asarray(fftr(diffsptk_tpu.impulse(3))), 3)
+    array([1., 1., 1., 1., 1.])
+    """
 
     def __init__(self, fft_length: int, out_format: str | int = "complex",
                  learnable: bool = False, dtype=None) -> None:
@@ -74,7 +84,18 @@ class RealValuedFastFourierTransform(BaseOp):
 
 
 class RealValuedInverseFastFourierTransform(BaseOp):
-    """irfft (..., L/2+1) -> (..., out_length)."""
+    """irfft (..., L/2+1) -> (..., out_length).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> X = diffsptk_tpu.RealValuedFastFourierTransform(8)(
+    ...     diffsptk_tpu.ramp(2))
+    >>> np.round(np.asarray(
+    ...     diffsptk_tpu.RealValuedInverseFastFourierTransform(8, 3)(X)), 3)
+    array([0., 1., 2.])
+    """
 
     _input_names = ("y",)
 

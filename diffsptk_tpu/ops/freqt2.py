@@ -85,6 +85,20 @@ def design_ifreqt2(in_order: int, out_order: int, alpha: float, theta: float,
 
 
 class SecondOrderAllPassFrequencyTransform(BaseOp):
+    """Cepstrum -> second-order all-pass warped cepstrum (freqt2).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> c = jnp.asarray([1.0, 0.5, 0.25, 0.125])
+    >>> g = diffsptk_tpu.SecondOrderAllPassFrequencyTransform(
+    ...     3, 5, alpha=0.1, theta=0.3)(c)
+    >>> np.round(np.asarray(g), 3)
+    array([ 1.028,  0.526,  0.239,  0.096, -0.017,  0.003])
+    """
+
     _input_names = ("c",)
 
     def __init__(self, in_order: int, out_order: int, alpha: float = 0,
@@ -115,6 +129,22 @@ class SecondOrderAllPassFrequencyTransform(BaseOp):
 
 
 class SecondOrderAllPassInverseFrequencyTransform(BaseOp):
+    """Inverse of :class:`SecondOrderAllPassFrequencyTransform`.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> c = jnp.asarray([1.0, 0.5, 0.25, 0.125])
+    >>> g = diffsptk_tpu.SecondOrderAllPassFrequencyTransform(
+    ...     3, 5, alpha=0.1, theta=0.3)(c)
+    >>> np.round(np.asarray(
+    ...     diffsptk_tpu.SecondOrderAllPassInverseFrequencyTransform(
+    ...         5, 3, alpha=0.1, theta=0.3)(g)), 3)
+    array([1.   , 0.5  , 0.25 , 0.125])
+    """
+
     _input_names = ("c",)
 
     def __init__(self, in_order: int, out_order: int, alpha: float = 0,

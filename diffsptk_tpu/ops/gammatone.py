@@ -124,7 +124,17 @@ def _impulse_response_np(design, length):
 
 
 class GammatoneFilterBankAnalysis(BaseNonFunctionalOp):
-    """Waveform -> complex subbands (B, K, T)."""
+    """Waveform -> complex subbands (B, K, T).
+
+    Examples
+    --------
+    >>> import jax
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.nrand(127, key=jax.random.PRNGKey(0))
+    >>> y = diffsptk_tpu.GammatoneFilterBankAnalysis(16000)(x)
+    >>> y.shape        # 30 ERB bands, complex subbands
+    (1, 30, 128)
+    """
 
     def __init__(self, sample_rate: int, *, f_min: float = 70,
                  f_ref: float = 1000, f_max: float = 6700,
@@ -166,7 +176,17 @@ class GammatoneFilterBankAnalysis(BaseNonFunctionalOp):
 
 class GammatoneFilterBankSynthesis(BaseNonFunctionalOp):
     """Complex subbands -> waveform via per-band delay + phase adjust +
-    gain-weighted sum."""
+    gain-weighted sum.
+
+    Examples
+    --------
+    >>> import jax
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.nrand(127, key=jax.random.PRNGKey(0))
+    >>> y = diffsptk_tpu.GammatoneFilterBankAnalysis(16000)(x)
+    >>> diffsptk_tpu.GammatoneFilterBankSynthesis(16000)(y).shape
+    (1, 1, 128)
+    """
 
     def __init__(self, sample_rate: int, *, desired_delay: float = 4,
                  f_min: float = 70, f_ref: float = 1000,

@@ -19,7 +19,18 @@ from .stft import (
 
 
 class GriffinLim(BaseOp):
-    """Power spectrum (..., T/P, N/2+1) -> waveform (..., T)."""
+    """Power spectrum (..., T/P, N/2+1) -> waveform (..., T).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.sin(127, period=16)
+    >>> sp = diffsptk_tpu.STFT(32, 8, 32, out_format="power")(x)
+    >>> y = diffsptk_tpu.GriffinLim(32, 8, 32, n_iter=5)(sp, out_length=128)
+    >>> y.shape
+    (128,)
+    """
 
     _input_names = ("y", "out_length")
 

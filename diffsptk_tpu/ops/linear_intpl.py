@@ -40,6 +40,19 @@ def linear_interpolate(x: jnp.ndarray, upsampling_factor: int) -> jnp.ndarray:
 
 
 class LinearInterpolation(BaseOp):
+    """Upsample (..., T, D) -> (..., TxP, D) by linear interpolation
+    between adjacent frames (reference: diffsptk/modules/linear_intpl.py).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> li = diffsptk_tpu.LinearInterpolation(3)
+    >>> np.round(np.asarray(li(jnp.asarray([0.0, 3.0, 6.0]))), 1)
+    array([0., 1., 2., 3., 4., 5., 6., 6., 6.])
+    """
+
     def __init__(self, upsampling_factor: int) -> None:
         self._setup(self._design(**filter_values(locals())))
 

@@ -89,7 +89,21 @@ def _deconv_small(x: jnp.ndarray, kernel: tuple) -> jnp.ndarray:
 
 
 class LinearPredictiveCoefficientsToLineSpectralPairs(BaseOp):
-    """LPC (..., M+1) -> LSP frequencies [K, w1..wM]."""
+    """LPC (..., M+1) -> LSP frequencies [K, w1..wM].
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> a = diffsptk_tpu.LPC(32, 4)(
+    ...     diffsptk_tpu.nrand(31, key=jax.random.PRNGKey(2)))
+    >>> w = diffsptk_tpu.LinearPredictiveCoefficientsToLineSpectralPairs(4)(a)
+    >>> np.round(np.asarray(w), 3)
+    array([5.076, 0.485, 1.268, 1.611, 2.731])
+    >>> back = diffsptk_tpu.LineSpectralPairsToLinearPredictiveCoefficients(4)(w)
+    >>> bool(np.allclose(np.asarray(back), np.asarray(a), atol=1e-8))
+    True
+    """
 
     _input_names = ("a",)
 
@@ -248,7 +262,18 @@ class LineSpectralPairsToLinearPredictiveCoefficients(BaseOp):
 
 class LineSpectralPairsToSpectrum(BaseOp):
     """LSP -> log/power spectrum via the closed-form cosine product
-    (reference lsp2sp.py)."""
+    (reference lsp2sp.py).
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> a = diffsptk_tpu.LPC(32, 4)(
+    ...     diffsptk_tpu.nrand(31, key=jax.random.PRNGKey(2)))
+    >>> w = diffsptk_tpu.LinearPredictiveCoefficientsToLineSpectralPairs(4)(a)
+    >>> diffsptk_tpu.LineSpectralPairsToSpectrum(4, 16)(w).shape
+    (9,)
+    """
 
     _input_names = ("w",)
 
@@ -343,7 +368,20 @@ def jax_logsumexp_2(a, b):
 
 
 class LinearPredictiveCoefficientsStabilityCheck(BaseOp):
-    """Clip PARCOR magnitude to (1 - margin) (reference lpccheck.py)."""
+    """Clip PARCOR magnitude to (1 - margin) (reference lpccheck.py).
+
+    A stable filter passes through unchanged:
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> a = diffsptk_tpu.LPC(32, 4)(
+    ...     diffsptk_tpu.nrand(31, key=jax.random.PRNGKey(2)))
+    >>> chk = diffsptk_tpu.LinearPredictiveCoefficientsStabilityCheck(4)(a)
+    >>> bool(np.allclose(np.asarray(chk), np.asarray(a)))
+    True
+    """
 
     _input_names = ("a",)
 
@@ -383,7 +421,21 @@ class LinearPredictiveCoefficientsStabilityCheck(BaseOp):
 
 class LineSpectralPairsStabilityCheck(BaseOp):
     """Repair LSPs that violate ordering/minimal-distance constraints
-    (reference lspcheck.py)."""
+    (reference lspcheck.py).
+
+    Well-ordered LSPs pass through unchanged:
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> a = diffsptk_tpu.LPC(32, 4)(
+    ...     diffsptk_tpu.nrand(31, key=jax.random.PRNGKey(2)))
+    >>> w = diffsptk_tpu.LinearPredictiveCoefficientsToLineSpectralPairs(4)(a)
+    >>> chk = diffsptk_tpu.LineSpectralPairsStabilityCheck(4)(w)
+    >>> bool(np.allclose(np.asarray(chk), np.asarray(w)))
+    True
+    """
 
     _input_names = ("w",)
 

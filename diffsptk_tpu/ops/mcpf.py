@@ -80,7 +80,20 @@ class MelCepstrumInversePowerNormalization(BaseOp):
 
 
 class MelCepstrumPostfiltering(BaseOp):
-    """HTS-style formant postfilter (reference mcpf.py)."""
+    """HTS-style formant postfilter (reference mcpf.py).
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> mc = diffsptk_tpu.MelCepstralAnalysis(
+    ...     fft_length=64, cep_order=4, alpha=0.42)(sp)
+    >>> pf = diffsptk_tpu.MelCepstrumPostfiltering(4, alpha=0.42, beta=0.2)
+    >>> np.round(np.asarray(pf(mc)), 3)
+    array([ 1.761, -0.101,  0.269,  0.218,  0.272])
+    """
 
     _input_names = ("mc",)
 

@@ -101,7 +101,16 @@ class InverseModifiedDiscreteTransform(BaseOp):
 
 
 class ModifiedDiscreteCosineTransform(BaseOp):
-    """Waveform (..., T) -> MDCT coefficients (..., 2T/L, L/2)."""
+    """Waveform (..., T) -> MDCT coefficients (..., 2T/L, L/2).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.ramp(7)
+    >>> diffsptk_tpu.MDCT(4)(x).shape                     # TDAC: 2T/L frames
+    (5, 2)
+    """
 
     def __init__(self, frame_length: int, window: str = "sine",
                  transform: str = "cosine",
@@ -140,7 +149,19 @@ class ModifiedDiscreteCosineTransform(BaseOp):
 
 
 class InverseModifiedDiscreteCosineTransform(BaseOp):
-    """MDCT coefficients -> waveform via overlap-add."""
+    """MDCT coefficients -> waveform via overlap-add.
+
+    Perfect reconstruction with the paired analysis transform:
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.ramp(7)
+    >>> y = diffsptk_tpu.IMDCT(4)(diffsptk_tpu.MDCT(4)(x), out_length=8)
+    >>> np.round(np.asarray(y), 3)
+    array([0., 1., 2., 3., 4., 5., 6., 7.])
+    """
 
     _input_names = ("y", "out_length")
 
@@ -219,7 +240,16 @@ class InverseModifiedDiscreteSineTransform(
 
 class HilbertTransform(BaseOp):
     """Analytic signal via FFT mask (reference: diffsptk/modules/hilbert.py).
-    Returns a complex array; .imag is the Hilbert transform."""
+    Returns a complex array; .imag is the Hilbert transform.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> z = diffsptk_tpu.HilbertTransform(8)(diffsptk_tpu.impulse(7))
+    >>> np.round(np.asarray(z.imag), 3)
+    array([ 0.   ,  0.604,  0.   ,  0.104,  0.   , -0.104,  0.   , -0.604])
+    """
 
     def __init__(self, fft_length: int, dim: int = -1, dtype=None) -> None:
         self._setup(self._design(**filter_values(locals(), ("dtype",))),

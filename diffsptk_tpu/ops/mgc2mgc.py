@@ -87,7 +87,21 @@ def _ignorm(gamma):
 
 
 class MelGeneralizedCepstrumToMelGeneralizedCepstrum(BaseOp):
-    """(..., M1+1) mel-generalized cepstrum -> (..., M2+1)."""
+    """(..., M1+1) mel-generalized cepstrum -> (..., M2+1).
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> mc = diffsptk_tpu.MelCepstralAnalysis(
+    ...     fft_length=64, cep_order=4, alpha=0.42)(sp)
+    >>> cv = diffsptk_tpu.MelGeneralizedCepstrumToMelGeneralizedCepstrum(
+    ...     4, 6, in_alpha=0.42, out_alpha=0.1, in_gamma=0, out_gamma=-0.5)
+    >>> np.round(np.asarray(cv(mc)), 2)
+    array([ 1.2 , -0.08,  0.03,  0.  ,  0.04,  0.06,  0.06])
+    """
 
     _input_names = ("mc",)
 

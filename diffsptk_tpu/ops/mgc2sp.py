@@ -36,7 +36,21 @@ def _make_formatter(out_format):
 
 
 class MelGeneralizedCepstrumToSpectrum(BaseOp):
-    """(..., M+1) -> (..., L/2+1)."""
+    """(..., M+1) -> (..., L/2+1).
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> mc = diffsptk_tpu.MelCepstralAnalysis(
+    ...     fft_length=64, cep_order=4, alpha=0.42)(sp)
+    >>> db = diffsptk_tpu.MelGeneralizedCepstrumToSpectrum(
+    ...     4, 16, alpha=0.42, out_format="db")(mc)
+    >>> np.round(np.asarray(db), 1)
+    array([18.7, 12. , 15.5, 15.5, 15.5, 15.9, 17.8, 18.1, 19. ])
+    """
 
     _input_names = ("mc",)
 

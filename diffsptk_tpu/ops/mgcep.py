@@ -63,7 +63,19 @@ def design_qtrans(order: int, alpha: float) -> np.ndarray:
 
 
 class MelGeneralizedCepstralAnalysis(BaseNonFunctionalOp):
-    """Power spectrum (..., L/2+1) -> mel-generalized cepstrum (..., M+1)."""
+    """Power spectrum (..., L/2+1) -> mel-generalized cepstrum (..., M+1).
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> mg = diffsptk_tpu.MelGeneralizedCepstralAnalysis(
+    ...     fft_length=64, cep_order=4, alpha=0.42, gamma=-0.5)(sp)
+    >>> np.round(np.asarray(mg), 3)
+    array([ 1.281, -0.032,  0.026,  0.072,  0.061])
+    """
 
     def __init__(self, *, fft_length: int, cep_order: int, alpha: float = 0,
                  gamma: float = 0, c: int | None = None, n_iter: int = 0,

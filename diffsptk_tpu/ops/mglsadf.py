@@ -437,7 +437,24 @@ class MultiStageIIRFilter:
 
 class PseudoMGLSADigitalFilter(BaseNonFunctionalOp):
     """MLSA/MGLSA filter: (excitation (..., T), mel-cepstrum
-    (..., T/P, M+1)) -> (..., T)."""
+    (..., T/P, M+1)) -> (..., T).
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> mc = diffsptk_tpu.MelCepstralAnalysis(
+    ...     fft_length=64, cep_order=4, alpha=0.42)(sp)
+    >>> e = diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(1))
+    >>> mlsa = diffsptk_tpu.MLSA(4, frame_period=16, alpha=0.42,
+    ...                          taylor_order=10)
+    >>> y = mlsa(e, jnp.tile(mc, (4, 1)))
+    >>> y.shape
+    (64,)
+    """
 
     def __init__(self, filter_order, frame_period: int, *, alpha: float = 0,
                  gamma: float = 0, c: int | None = None,
@@ -500,7 +517,26 @@ class PseudoMGLSADigitalFilter(BaseNonFunctionalOp):
 
 class PseudoInverseMGLSADigitalFilter(BaseNonFunctionalOp):
     """IMLSA: literally mglsadf(y, -mc)
-    (reference: diffsptk/modules/imglsadf.py:23-63)."""
+    (reference: diffsptk/modules/imglsadf.py:23-63).
+
+    Inverse-then-forward round-trips the excitation:
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> mc = jnp.tile(diffsptk_tpu.MelCepstralAnalysis(
+    ...     fft_length=64, cep_order=4, alpha=0.42)(sp), (4, 1))
+    >>> e = diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(1))
+    >>> kw = dict(frame_period=16, alpha=0.42, taylor_order=10)
+    >>> y = diffsptk_tpu.MLSA(4, **kw)(e, mc)
+    >>> e2 = diffsptk_tpu.IMLSA(4, **kw)(y, mc)
+    >>> bool(np.allclose(np.asarray(e2), np.asarray(e), atol=1e-2))
+    True
+    """
 
     def __init__(self, filter_order, frame_period: int, **kwargs) -> None:
         self.mglsadf = PseudoMGLSADigitalFilter(filter_order, frame_period,

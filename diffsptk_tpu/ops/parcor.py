@@ -25,7 +25,27 @@ def _check_order_gamma(order: int, gamma: float, c: int | None) -> None:
 
 
 class LinearPredictiveCoefficientsToParcorCoefficients(BaseOp):
-    """LPC -> PARCOR by the Levinson step-down recursion."""
+    """LPC -> PARCOR by the Levinson step-down recursion.
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> a = diffsptk_tpu.LPC(32, 4)(
+    ...     diffsptk_tpu.nrand(31, key=jax.random.PRNGKey(2)))
+    >>> k = diffsptk_tpu.LinearPredictiveCoefficientsToParcorCoefficients(4)(a)
+    >>> np.round(np.asarray(k), 3)
+    array([ 5.076, -0.133, -0.13 ,  0.185, -0.463])
+    >>> back = diffsptk_tpu.ParcorCoefficientsToLinearPredictiveCoefficients(4)(k)
+    >>> bool(np.allclose(np.asarray(back), np.asarray(a)))
+    True
+    >>> np.round(np.asarray(                       # PARCOR -> inverse sine
+    ...     diffsptk_tpu.ParcorCoefficientsToInverseSine(4)(k)), 3)
+    array([ 5.076, -0.085, -0.083,  0.118, -0.306])
+    >>> np.round(np.asarray(                       # PARCOR -> log area ratio
+    ...     diffsptk_tpu.ParcorCoefficientsToLogAreaRatio(4)(k)), 3)
+    array([ 5.076, -0.268, -0.261,  0.374, -1.002])
+    """
 
     _input_names = ("a",)
 

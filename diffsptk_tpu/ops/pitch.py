@@ -141,7 +141,21 @@ class PitchExtractionByYIN:
 
 
 class Pitch(BaseNonFunctionalOp):
-    """Waveform (B?, T) -> pitch/f0/log-f0 (B?, N) or prob (B?, N, C)."""
+    """Waveform (B?, T) -> pitch/f0/log-f0 (B?, N) or prob (B?, N, C).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> t = jnp.arange(3200.0) / 16000
+    >>> x = jnp.sin(2 * jnp.pi * 220 * t)
+    >>> p = diffsptk_tpu.Pitch(80, 16000, algorithm="yin",
+    ...                        out_format="f0", f_min=80, f_max=400)
+    >>> f0 = p(x)
+    >>> float(np.round(np.median(np.asarray(f0)[10:30]), 1))
+    220.0
+    """
 
     def __init__(self, frame_period: int, sample_rate: int,
                  algorithm: str = "yin", out_format: str | int = "pitch",

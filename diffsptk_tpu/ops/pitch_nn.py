@@ -64,6 +64,14 @@ _CREPE_BN_EPS = 0.0010000000474974513
 
 
 def crepe_cents_to_frequency(cents):
+    """Cents on the CREPE scale (ref 10 Hz) -> Hz.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> float(np.round(crepe_cents_to_frequency(crepe_bins_to_cents(180)), 1))
+    253.6
+    """
     return 10.0 * 2.0 ** (cents / 1200.0)
 
 

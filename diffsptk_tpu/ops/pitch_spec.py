@@ -99,7 +99,20 @@ class SpectrumExtractionByCheapTrick:
 
 
 class PitchAdaptiveSpectralAnalysis(BaseNonFunctionalOp):
-    """(waveform (..., T), f0 (..., T/P)) -> envelope (..., T/P, L/2+1)."""
+    """(waveform (..., T), f0 (..., T/P)) -> envelope (..., T/P, L/2+1).
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> t = jnp.arange(3200.0) / 16000
+    >>> x = jnp.sin(2 * jnp.pi * 220 * t)
+    >>> f0 = diffsptk_tpu.Pitch(80, 16000, algorithm="yin",
+    ...                         out_format="f0", f_min=80, f_max=400)(x)
+    >>> diffsptk_tpu.PitchAdaptiveSpectralAnalysis(80, 16000, 1024)(
+    ...     x, f0).shape
+    (40, 513)
+    """
 
     def __init__(self, frame_period: int, sample_rate: int, fft_length: int,
                  algorithm: str = "cheap-trick",

@@ -16,7 +16,19 @@ from .linear_intpl import linear_interpolate
 
 
 class AllPoleDigitalFilter(BaseOp):
-    """(excitation (..., T), LPC (..., T/P, M+1)) -> waveform (..., T)."""
+    """(excitation (..., T), LPC (..., T/P, M+1)) -> waveform (..., T).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> a = jnp.tile(jnp.asarray([1.0, 0.5]), (4, 1))     # K=1, a1=0.5
+    >>> y = diffsptk_tpu.AllPoleDigitalFilter(1, 1)(
+    ...     diffsptk_tpu.impulse(3), a)
+    >>> np.round(np.asarray(y), 3)                        # (1+0.5 z^-1)^-1
+    array([ 1.   , -0.5  ,  0.25 , -0.125])
+    """
 
     _input_names = ("x", "a")
 

@@ -112,7 +112,16 @@ def _grouped_conv(x: jnp.ndarray, filters: jnp.ndarray) -> jnp.ndarray:
 
 
 class PseudoQuadratureMirrorFilterBankAnalysis(BaseNonFunctionalOp):
-    """Waveform -> (B, K, T) subband waveforms."""
+    """Waveform -> (B, K, T) subband waveforms.
+
+    Examples
+    --------
+    >>> import jax
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.nrand(255, key=jax.random.PRNGKey(0))
+    >>> diffsptk_tpu.PQMF(4, 47)(x).shape
+    (1, 4, 256)
+    """
 
     def __init__(self, n_band: int, filter_order: int, alpha: float = 100,
                  learnable: bool = False, dtype=None, **kwargs) -> None:
@@ -145,7 +154,17 @@ class PseudoQuadratureMirrorFilterBankAnalysis(BaseNonFunctionalOp):
 
 
 class PseudoQuadratureMirrorFilterBankSynthesis(BaseNonFunctionalOp):
-    """(B, K, T) subbands -> (B, 1, T) waveform."""
+    """(B, K, T) subbands -> (B, 1, T) waveform.
+
+    Examples
+    --------
+    >>> import jax
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.nrand(255, key=jax.random.PRNGKey(0))
+    >>> y = diffsptk_tpu.PQMF(4, 47)(x)
+    >>> diffsptk_tpu.IPQMF(4, 47)(y).shape
+    (1, 1, 256)
+    """
 
     def __init__(self, n_band: int, filter_order: int, alpha: float = 100,
                  learnable: bool = False, dtype=None, **kwargs) -> None:
@@ -180,7 +199,16 @@ class PseudoQuadratureMirrorFilterBankSynthesis(BaseNonFunctionalOp):
 
 
 class FractionalOctaveBandAnalysis(BaseNonFunctionalOp):
-    """1/b-octave linear-phase FIR bank (Antoni 2010)."""
+    """1/b-octave linear-phase FIR bank (Antoni 2010).
+
+    Examples
+    --------
+    >>> import jax
+    >>> import diffsptk_tpu
+    >>> x = diffsptk_tpu.nrand(255, key=jax.random.PRNGKey(0))
+    >>> diffsptk_tpu.FractionalOctaveBandAnalysis(16000)(x).shape
+    (1, 9, 256)
+    """
 
     def __init__(self, sample_rate: int, *, f_min: float = 40,
                  f_ref: float = 1000, f_max: float = 8000,

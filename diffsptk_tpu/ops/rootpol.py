@@ -83,7 +83,18 @@ def aberth_roots(a: jnp.ndarray, n_iter: int = 64) -> jnp.ndarray:
 
 class PolynomialToRoots(BaseOp):
     """(..., M+1) coefficients (descending powers) -> (..., M) complex
-    roots.  Non-differentiable (host callback)."""
+    roots.  Non-differentiable (host callback).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> r = diffsptk_tpu.PolynomialToRoots(2)(
+    ...     jnp.asarray([1.0, -3.0, 2.0]))              # (x-1)(x-2)
+    >>> np.round(np.sort(np.asarray(r.real)), 3)
+    array([1., 2.])
+    """
 
     _input_names = ("a",)
 
@@ -138,7 +149,17 @@ class PolynomialToRoots(BaseOp):
 
 class RootsToPolynomial(BaseOp):
     """(..., M) roots -> (..., M+1) coefficients via iterated convolution
-    with (1 - r_m z^-1)."""
+    with (1 - r_m z^-1).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> p = diffsptk_tpu.RootsToPolynomial(2)(jnp.asarray([1.0, 2.0]))
+    >>> np.round(np.asarray(p), 3)
+    array([ 1., -3.,  2.])
+    """
 
     _input_names = ("x",)
 

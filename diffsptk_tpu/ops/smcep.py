@@ -77,7 +77,20 @@ class CoefficientsFrequencyTransform2(BaseOp):
 
 
 class SecondOrderAllPassMelCepstralAnalysis(BaseOp):
-    """Power spectrum -> mel-cepstrum under the (alpha, theta) warp."""
+    """Power spectrum -> mel-cepstrum under the (alpha, theta) warp.
+
+    Examples
+    --------
+    >>> import jax, numpy as np
+    >>> import diffsptk_tpu
+    >>> sp = diffsptk_tpu.Spectrum(64)(
+    ...     diffsptk_tpu.nrand(63, key=jax.random.PRNGKey(0)))
+    >>> sm = diffsptk_tpu.SecondOrderAllPassMelCepstralAnalysis(
+    ...     fft_length=64, cep_order=4, alpha=0.1, theta=0.3,
+    ...     accuracy_factor=1)(sp)
+    >>> np.round(np.asarray(sm), 3)
+    array([ 1.848, -0.199,  0.041,  0.096, -0.081])
+    """
 
     def __init__(self, *, fft_length: int, cep_order: int, alpha: float = 0,
                  theta: float = 0, n_iter: int = 0,

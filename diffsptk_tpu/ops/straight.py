@@ -191,7 +191,21 @@ def _interp1_uniform(x0: float, step: float, y: jnp.ndarray,
 
 class SpectrumExtractionBySTRAIGHT:
     """STRAIGHT spectral envelope (pitch_spec.py:324-572); returns the
-    log power spectrum.  Gradients flow through the waveform, not F0."""
+    log power spectrum.  Gradients flow through the waveform, not F0.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> t = jnp.arange(3200.0) / 16000
+    >>> x = jnp.sin(2 * jnp.pi * 220 * t)
+    >>> f0 = diffsptk_tpu.Pitch(80, 16000, algorithm="yin",
+    ...                         out_format="f0", f_min=80, f_max=400)(x)
+    >>> ps = diffsptk_tpu.PitchAdaptiveSpectralAnalysis(
+    ...     80, 16000, 2048, algorithm="straight")
+    >>> ps(x, f0).shape
+    (40, 1025)
+    """
 
     def __init__(self, frame_period: int, sample_rate: int, fft_length: int,
                  *, default_f0: float = 160, spectral_exponent: float = 0.6,

@@ -34,7 +34,17 @@ def overlap_add(y: jnp.ndarray, frame_period: int) -> jnp.ndarray:
 
 class Unframe(BaseOp):
     """Revert framed waveform (..., N, L) to (..., T) with WOLA
-    normalization by the folded squared window."""
+    normalization by the folded squared window.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import diffsptk_tpu
+    >>> f = diffsptk_tpu.Frame(5, 2)(diffsptk_tpu.ramp(5))
+    >>> np.round(np.asarray(
+    ...     diffsptk_tpu.Unframe(5, 2)(f, out_length=6)), 3)
+    array([0., 1., 2., 3., 4., 5.])
+    """
 
     _input_names = ("y", "out_length")
 

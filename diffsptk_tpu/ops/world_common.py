@@ -16,7 +16,18 @@ TAU = 2 * np.pi
 
 def interp1(x, y, xq, method: str = "linear", batching=(False, False)):
     """Piecewise-linear interpolation with constant extrapolation
-    (matching the reference's interp1)."""
+    (matching the reference's interp1).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> y = interp1(jnp.asarray([0.0, 1.0, 2.0]),
+    ...             jnp.asarray([0.0, 10.0, 20.0]),
+    ...             jnp.asarray([0.5, 1.5]))
+    >>> np.round(np.asarray(y), 2)
+    array([ 5., 15.])
+    """
     if not batching[0]:
         x = jnp.broadcast_to(x, xq.shape[:-1] + x.shape[-1:])
     if not batching[1]:

@@ -60,7 +60,23 @@ def _wrap_phase_fixed_point(rate: jnp.ndarray) -> jnp.ndarray:
 
 class WorldSynthesis(BaseNonFunctionalOp):
     """(f0 (B?, N), aperiodicity (B?, N, D), envelope (B?, N, D)) ->
-    waveform (B?, N*P)."""
+    waveform (B?, N*P).
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> t = jnp.arange(3200.0) / 16000
+    >>> x = jnp.sin(2 * jnp.pi * 220 * t)
+    >>> f0 = diffsptk_tpu.Pitch(80, 16000, algorithm="yin",
+    ...                         out_format="f0", f_min=80, f_max=400)(x)
+    >>> A = diffsptk_tpu.Aperiodicity(80, 16000, 1024,
+    ...                               algorithm="tandem")(x, f0)
+    >>> S = diffsptk_tpu.PitchAdaptiveSpectralAnalysis(80, 16000, 1024)(
+    ...     x, f0)
+    >>> diffsptk_tpu.WorldSynthesis(80, 16000, 1024)(f0, A, S).shape
+    (3200,)
+    """
 
     def __init__(self, frame_period: int, sample_rate: int, fft_length: int,
                  *, default_f0: float = 500, f0_ceil: float = 1200.0,

@@ -67,7 +67,19 @@ def zerodf_fft(x: jnp.ndarray, b: jnp.ndarray, frame_period: int,
 
 
 class AllZeroDigitalFilter(BaseOp):
-    """(excitation (..., T), coefficients (..., T/P, M+1)) -> (..., T)."""
+    """(excitation (..., T), coefficients (..., T/P, M+1)) -> (..., T).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import diffsptk_tpu
+    >>> b = jnp.tile(jnp.asarray([1.0, 0.5]), (4, 1))
+    >>> y = diffsptk_tpu.AllZeroDigitalFilter(1, 1)(
+    ...     diffsptk_tpu.impulse(3), b)
+    >>> np.round(np.asarray(y), 3)                        # 1 + 0.5 z^-1
+    array([1. , 0.5, 0. , 0. ])
+    """
 
     _input_names = ("x", "b")
 

@@ -57,6 +57,8 @@ class ALawCompression(BaseOp):
 
 
 class ALawExpansion(BaseOp):
+    """Inverse of :class:`ALawCompression` (reference: ialaw.py)."""
+
     _input_names = ("y",)
 
     def __init__(self, abs_max: float = 1.0, a: float = 87.6) -> None:
@@ -81,6 +83,9 @@ class ALawExpansion(BaseOp):
 
 
 class MuLawCompression(BaseOp):
+    """mu-law companding y = sign(x) V log(1 + mu|x|/V) / log(1 + mu)
+    (reference: ulaw.py)."""
+
     def __init__(self, abs_max: float = 1.0, mu: int = 255) -> None:
         self._setup(self._design(**filter_values(locals())))
 
@@ -104,6 +109,8 @@ class MuLawCompression(BaseOp):
 
 
 class MuLawExpansion(BaseOp):
+    """Inverse of :class:`MuLawCompression` (reference: iulaw.py)."""
+
     _input_names = ("y",)
 
     def __init__(self, abs_max: float = 1.0, mu: int = 255) -> None:
@@ -161,6 +168,9 @@ class UniformQuantization(BaseOp):
 
 
 class InverseUniformQuantization(BaseOp):
+    """Quantization indices -> values (mid-rise/mid-tread)
+    (reference: dequantize.py)."""
+
     _input_names = ("y",)
 
     def __init__(self, abs_max: float = 1.0, n_bit: int = 8,

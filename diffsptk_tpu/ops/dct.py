@@ -163,6 +163,8 @@ class InverseDiscreteCosineTransform(_MatmulOp):
 
 
 class DiscreteSineTransform(_MatmulOp):
+    """DST-I..IV as an orthonormal basis matmul (reference: dst.py)."""
+
     @staticmethod
     def _check(length: int, dst_type: int) -> None:
         if length <= 0:
@@ -177,6 +179,9 @@ class DiscreteSineTransform(_MatmulOp):
 
 
 class InverseDiscreteSineTransform(_MatmulOp):
+    """Inverse DST (transpose of the orthonormal DST basis)
+    (reference: idst.py)."""
+
     @staticmethod
     def _design(dst_length: int, dst_type: int = 2) -> Design:
         DiscreteSineTransform._check(dst_length, dst_type)
@@ -186,6 +191,8 @@ class InverseDiscreteSineTransform(_MatmulOp):
 
 
 class DiscreteHartleyTransform(_MatmulOp):
+    """DHT (cas basis) as a matmul (reference: dht.py)."""
+
     @staticmethod
     def _check(length: int, dht_type: int) -> None:
         if length <= 0:
@@ -200,6 +207,9 @@ class DiscreteHartleyTransform(_MatmulOp):
 
 
 class InverseDiscreteHartleyTransform(_MatmulOp):
+    """Inverse DHT (the DHT is self-inverse up to scale)
+    (reference: idht.py)."""
+
     @staticmethod
     def _design(dht_length: int, dht_type: int = 2) -> Design:
         DiscreteHartleyTransform._check(dht_length, dht_type)

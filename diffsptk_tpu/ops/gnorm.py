@@ -78,6 +78,9 @@ class GeneralizedCepstrumGainNormalization(BaseOp):
 
 
 class GeneralizedCepstrumInverseGainNormalization(BaseOp):
+    """Inverse of :class:`GeneralizedCepstrumGainNormalization`
+    (reference: ignorm.py)."""
+
     _input_names = ("y",)
 
     def __init__(self, cep_order: int, gamma: float = 0.0,

@@ -487,6 +487,9 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
 
 
 class PrincipalComponentAnalysis(BaseLearnerOp):
+    """PCA by eigendecomposition of the sample/unbiased covariance;
+    transform() projects onto the top components (reference: pca.py)."""
+
     def __init__(self, order: int, n_comp: int, *,
                  cov_type: str | int = "sample", sort: str = "descending",
                  batch_size=None, verbose=False, dtype=None) -> None:

@@ -72,6 +72,9 @@ class MelCepstrumToMLSADigitalFilterCoefficients(BaseOp):
 
 
 class MLSADigitalFilterCoefficientsToMelCepstrum(BaseOp):
+    """Inverse of :class:`MelCepstrumToMLSADigitalFilterCoefficients`
+    (reference: b2mc.py)."""
+
     _input_names = ("b",)
 
     def __init__(self, cep_order: int, alpha: float = 0.0, dtype=None) -> None:

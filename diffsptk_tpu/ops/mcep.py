@@ -32,6 +32,9 @@ def design_coef_freqt(in_order: int, out_order: int,
 
 
 class CoefficientsFrequencyTransform(BaseOp):
+    """Frequency transform on plain cepstra (freqt matrix applied to
+    (..., M1+1)) used inside the mcep Newton loop (reference: freqt.py)."""
+
     _input_names = ("c",)
 
     def __init__(self, in_order: int, out_order: int,

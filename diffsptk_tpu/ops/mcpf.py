@@ -52,6 +52,9 @@ class MelCepstrumPowerNormalization(BaseOp):
 
 
 class MelCepstrumInversePowerNormalization(BaseOp):
+    """Inverse of :class:`MelCepstrumPowerNormalization`
+    (reference: ipnorm.py)."""
+
     _input_names = ("y",)
 
     def __init__(self, cep_order: int) -> None:

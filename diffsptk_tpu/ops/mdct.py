@@ -224,6 +224,8 @@ class ModifiedDiscreteSineTransform(ModifiedDiscreteCosineTransform):
 
 class InverseModifiedDiscreteSineTransform(
         InverseModifiedDiscreteCosineTransform):
+    """IMDST: IMDCT with the sine kernel (reference: imdst.py)."""
+
     def __init__(self, frame_length: int, window: str = "sine",
                  learnable: bool | list = False, dtype=None) -> None:
         super().__init__(frame_length, window, transform="sine",

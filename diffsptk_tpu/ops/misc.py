@@ -18,6 +18,9 @@ from ..utils.linalg import remove_gain
 
 
 class Decimation(BaseOp):
+    """Pick every P-th sample starting at S along dim
+    (reference: decimate.py)."""
+
     def __init__(self, period: int, start: int = 0, dim: int = -1) -> None:
         self._setup(self._design(**filter_values(locals())))
 
@@ -70,6 +73,9 @@ class Interpolation(BaseOp):
 
 
 class Delay(BaseOp):
+    """Integer shift with zero fill; negative start advances
+    (reference: delay.py)."""
+
     def __init__(self, start: int, keeplen: bool = False,
                  dim: int = -1) -> None:
         self._setup(self._design(**filter_values(locals())))
@@ -188,6 +194,8 @@ class Histogram(BaseOp):
 
 
 class SignalToNoiseRatio(BaseOp):
+    """SNR / segmental SNR in dB (reference: snr.py)."""
+
     _input_names = ("s", "sn")
 
     def __init__(self, frame_length: int | None = None, full: bool = False,
@@ -236,6 +244,8 @@ class SignalToNoiseRatio(BaseOp):
 
 
 class RootMeanSquareError(BaseOp):
+    """RMSE with mean/sum/none reductions (reference: rmse.py)."""
+
     _input_names = ("x", "y")
 
     def __init__(self, reduction: str = "mean") -> None:
@@ -268,6 +278,9 @@ class RootMeanSquareError(BaseOp):
 
 
 class Flux(BaseOp):
+    """Spectral flux between consecutive frames under a lag
+    (reference: flux.py)."""
+
     _input_names = ("x", "y")
 
     def __init__(self, lag: int = 1, norm: int | float = 2,
@@ -316,6 +329,9 @@ class Flux(BaseOp):
 
 
 class ZeroCrossingAnalysis(BaseOp):
+    """Zero-crossing count per frame; soft sign relaxation keeps a
+    gradient path (reference: zcross.py)."""
+
     def __init__(self, frame_length: int, norm: bool = False,
                  softness: float = 1e-3) -> None:
         self._setup(self._design(**filter_values(locals())))

@@ -146,6 +146,8 @@ class _GainPreservingElementwise(BaseOp):
 
 
 class ParcorCoefficientsToInverseSine(_GainPreservingElementwise):
+    """PARCOR -> inverse-sine coefficients (reference: par2is.py)."""
+
     _input_names = ("k",)
 
     @staticmethod
@@ -157,6 +159,9 @@ class ParcorCoefficientsToInverseSine(_GainPreservingElementwise):
 
 
 class InverseSineToParcorCoefficients(_GainPreservingElementwise):
+    """Inverse of :class:`ParcorCoefficientsToInverseSine`
+    (reference: is2par.py)."""
+
     _input_names = ("s",)
 
     @staticmethod
@@ -166,6 +171,8 @@ class InverseSineToParcorCoefficients(_GainPreservingElementwise):
 
 
 class ParcorCoefficientsToLogAreaRatio(_GainPreservingElementwise):
+    """PARCOR -> log area ratio 2 artanh(k) (reference: par2lar.py)."""
+
     _input_names = ("k",)
 
     @staticmethod
@@ -175,6 +182,9 @@ class ParcorCoefficientsToLogAreaRatio(_GainPreservingElementwise):
 
 
 class LogAreaRatioToParcorCoefficients(_GainPreservingElementwise):
+    """Inverse of :class:`ParcorCoefficientsToLogAreaRatio`
+    (reference: lar2par.py)."""
+
     _input_names = ("g",)
 
     @staticmethod

@@ -159,6 +159,11 @@ class BaseOp:
     def _func(cls, *inputs, **kwargs):
         """Stateless path: design fresh (cached) and forward."""
         design = cls._design(**kwargs)
+        if len(inputs) > len(cls._input_names):
+            raise TypeError(
+                f"{cls.__name__}._func takes at most "
+                f"{len(cls._input_names)} inputs {cls._input_names}, "
+                f"got {len(inputs)}")
         bound = dict(zip(cls._input_names, inputs))
         return cls._apply_design(design, **bound)
 

@@ -64,6 +64,9 @@ def sample_wise_lpc(x: jnp.ndarray, a: jnp.ndarray,
     scan.
     """
     M = a.shape[-1]
+    if M == 0:
+        # order-0 filter: no feedback taps, identity recursion
+        return x
     if axis_name is not None:
         # time-sharded path (inside shard_map): exact cross-shard state
         # handoff through the blocked form's affine summaries

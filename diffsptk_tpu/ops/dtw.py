@@ -48,9 +48,19 @@ def _make_dist(metric):
 
 
 def _softmin(values, gamma):
-    """-gamma * logsumexp(-v / gamma) over a list; +inf entries vanish."""
+    """-gamma * logsumexp(-v / gamma) over a list; +inf entries vanish.
+
+    Cells whose candidates are ALL +inf (unreachable under one-sided
+    constraint sets, e.g. row/column 0 for p in {2, 3, 5}) must not reach
+    logsumexp: its backward pass forms softmax weights 0/0 = NaN there,
+    and NaN survives multiplication by the zero cotangent, poisoning the
+    whole gradient.  Double-where: substitute a safe value, restore +inf.
+    """
     v = jnp.stack(values, axis=0)
-    return -gamma * jax.scipy.special.logsumexp(-v / gamma, axis=0)
+    all_inf = jnp.all(jnp.isinf(v), axis=0)
+    v_safe = jnp.where(all_inf[None], 0.0, v)
+    r = -gamma * jax.scipy.special.logsumexp(-v_safe / gamma, axis=0)
+    return jnp.where(all_inf, jnp.inf, r)
 
 
 def _soft_dtw_distance(D, steps, two_step, gamma):
@@ -158,7 +168,7 @@ class DynamicTimeWarping(BaseOp):
     array([0.2])
     """
 
-    _input_names = ("x", "y")
+    _input_names = ("x", "y", "lengths", "return_indices")
 
     def __init__(self, metric: str | int = "euclidean", p: int = 4,
                  softness: float = 1e-3) -> None:

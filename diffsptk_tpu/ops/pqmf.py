@@ -106,9 +106,10 @@ def _pad_signal(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
 
 def _grouped_conv(x: jnp.ndarray, filters: jnp.ndarray) -> jnp.ndarray:
     """(B, C, Tp) x (K, C, M+1) -> (B, K, T) cross-correlation."""
+    dt = jnp.result_type(x.dtype, filters.dtype)
     return jax.lax.conv_general_dilated(
-        x, filters, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))
+        x.astype(dt), filters.astype(dt), window_strides=(1,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
 
 
 class PseudoQuadratureMirrorFilterBankAnalysis(BaseNonFunctionalOp):

@@ -48,9 +48,19 @@ class WorldVocoder:
             f0_ceil=max(f_max, 500.0) * 1.2, f0_floor=f_min,
             **(synth_kwargs or {}))
 
-    def analyze(self, x: jnp.ndarray):
-        """Waveform (..., T) -> (f0, aperiodicity, envelope)."""
+    def analyze(self, x: jnp.ndarray, even_frames: bool = False):
+        """Waveform (..., T) -> (f0, aperiodicity, envelope).
+
+        The pitch stage follows the reference's hop-framing convention
+        (T // P + 1 frames, see ops/pitch.py).  ``even_frames=True``
+        drops the final edge frame, yielding exactly T // P frames —
+        the uniform-shard layout the sequence-parallel
+        ShardedWorldVocoder produces (parallel/world.py), whose SPMD
+        blocks must all carry the same static frame count.
+        """
         f0 = self.pitch(x)
+        if even_frames:
+            f0 = f0[..., : x.shape[-1] // self.synth.frame_period]
         ap = self.ap(x, f0)
         sp = self.spec(x, f0)
         return f0, ap, sp

@@ -134,20 +134,54 @@ def vqt_filter_fft(sr: float, freqs: np.ndarray, filter_scale: float,
     if (hop_length is not None
             and n_fft < 2.0 ** (1 + np.ceil(np.log2(hop_length)))):
         n_fft = int(2.0 ** (1 + np.ceil(np.log2(hop_length))))
-    if force_n_fft is not None:
-        if force_n_fft < n_fft:
-            raise ValueError("force_n_fft must be >= the natural length.")
-        pad = force_n_fft - basis.shape[1]
-        # keep the wavelets centered in the padded window (frames are
-        # center-aligned)
-        basis = np.pad(basis, ((0, 0), (pad // 2, pad - pad // 2)))
-        n_fft = force_n_fft
-    basis = basis * (lengths[:, None] / float(n_fft))
-    fft_basis = np.fft.fft(basis, n=n_fft, axis=1)[:, : n_fft // 2 + 1]
-    # match the reference's complex64 basis storage (cqt.py:221 stores the
-    # torch default-dtype cast of a complex64 sparse matrix)
-    fft_basis = fft_basis.astype(np.complex64).astype(np.complex128)
-    return fft_basis, n_fft, lengths
+    # Reference pipeline (third_party/librosa/constantq.py:96-103):
+    # normalize by length/n_fft, FFT at the natural n_fft, then zero the
+    # smallest spectral entries per row until 1 % of the L1 mass is
+    # dropped, stored complex64.  Reproduce it exactly at the natural
+    # length so golden values match bit-for-bit in f32.
+    norm_basis = basis * (lengths[:, None] / float(n_fft))
+    full = np.fft.fft(norm_basis, n=n_fft, axis=1)
+    half = _sparsify_rows(full[:, : n_fft // 2 + 1], sparsity)
+    half = half.astype(np.complex64).astype(np.complex128)
+    if force_n_fft is None or force_n_fft == n_fft:
+        return half, n_fft, lengths
+    if force_n_fft < n_fft:
+        raise ValueError("force_n_fft must be >= the natural length.")
+    # Shared-FFT-plan padding: rebuild the (sparsified) wavelet in time,
+    # center it in the longer window, re-FFT.  Frames are center-aligned,
+    # so the inner product Σ_f X[f] Ψ*[f] / n_fft over the padded window
+    # equals the natural-length one exactly (the wavelet is zero in the
+    # padding), while every octave shares ONE FFT length.
+    # The stored half-spectrum is a complex wavelet's, not Hermitian:
+    # take the full natural-length spectrum with the same entries zeroed
+    # in the kept half, and invert that.
+    spec = full.copy()
+    spec[:, : n_fft // 2 + 1] = np.where(half != 0,
+                                         full[:, : n_fft // 2 + 1], 0.0)
+    wav = np.fft.ifft(spec, axis=1)
+    pad = force_n_fft - n_fft
+    wav = np.pad(wav, ((0, 0), (pad // 2, pad - pad // 2)))
+    fft_basis = np.fft.fft(wav, n=force_n_fft, axis=1)
+    fft_basis = fft_basis[:, : force_n_fft // 2 + 1]
+    return fft_basis, force_n_fft, lengths
+
+
+def _sparsify_rows(x: np.ndarray, quantile: float) -> np.ndarray:
+    """Zero each row's smallest entries until ``quantile`` of its L1 mass
+    is dropped (dense equivalent of librosa.util.sparsify_rows,
+    reference: third_party/librosa/util.py:139-169)."""
+    if quantile <= 0:
+        return x
+    mags = np.abs(x)
+    norms = np.sum(mags, axis=1, keepdims=True)
+    mag_sort = np.sort(mags, axis=1)
+    cumulative = np.cumsum(mag_sort / norms, axis=1)
+    threshold_idx = np.argmin(cumulative < quantile, axis=1)
+    out = np.zeros_like(x)
+    for i, j in enumerate(threshold_idx):
+        keep = mags[i] >= mag_sort[i, j]
+        out[i, keep] = x[i, keep]
+    return out
 
 
 def num_two_factors(x: int) -> int:

@@ -95,7 +95,7 @@ class SecondOrderDigitalFilter(BaseOp):
     array([1.   , 1.777, 2.232, 2.323, 2.063])
     """
 
-    def __init__(self, sample_rate: int, *, pole_frequency=None,
+    def __init__(self, sample_rate: int, pole_frequency=None,
                  pole_bandwidth=None, zero_frequency=None,
                  zero_bandwidth=None, ir_length: int | None = None,
                  dtype=None) -> None:

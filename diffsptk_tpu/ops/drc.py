@@ -92,10 +92,14 @@ class DynamicRangeCompression(BaseOp):
                 makeup_gain: float = 0, abs_max: float = 1) -> Design:
         DynamicRangeCompression._check(ratio, attack_time, release_time,
                                        sample_rate, makeup_gain, abs_max)
-        c = round(math.log(9), 1)  # 10%-90% rise-time convention
+        # The reference feeds torchcomp.ms2coef(ms * c, sr) where
+        # c = round(log 9, 1) and torchcomp's coefficient is
+        # 1 - exp(-2200 / (ms * sr)): the 10%-90% rise factor cancels,
+        # leaving the plain time constant 1 - exp(-1000 / (ms * sr))
+        # (verified against drc.py's Examples golden variance).
         params = np.array([
-            threshold, ratio, ms2coef(attack_time * c, sample_rate),
-            ms2coef(release_time * c, sample_rate),
+            threshold, ratio, ms2coef(attack_time, sample_rate),
+            ms2coef(release_time, sample_rate),
             10.0 ** (makeup_gain / 20.0)])
         return Design(values={"abs_max": abs_max}, arrays={"params": params})
 

@@ -34,7 +34,10 @@ def _yin_frames(x: jnp.ndarray, frame_period: int, window_length: int,
     (centered), zero-padded at the edges."""
     L = window_length + tau_max
     T = x.shape[-1]
-    n_frames = T // frame_period
+    # Reference frame-count convention (torchcrepe/penn hop framing,
+    # reference pitch.py:247-252): one frame centered at every multiple
+    # of the frame period in [0, T], i.e. T // P + 1 frames.
+    n_frames = T // frame_period + 1
     pad = [(0, 0)] * (x.ndim - 1) + [(L // 2, L)]
     xp = jnp.pad(x, pad)
     idx = (np.arange(n_frames)[:, None] * frame_period

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..core import to_device_array
 from ..kernels.recurrence import lfilter
-from .frame import Frame
+from .world_common import frames_matching_f0
 
 TAU = 2 * np.pi
 
@@ -197,7 +197,7 @@ class SpectrumExtractionBySTRAIGHT:
     --------
     >>> import jax.numpy as jnp
     >>> import diffsptk_tpu
-    >>> t = jnp.arange(3200.0) / 16000
+    >>> t = jnp.arange(3199.0) / 16000   # T % P != 0 (see Pitch framing)
     >>> x = jnp.sin(2 * jnp.pi * 220 * t)
     >>> f0 = diffsptk_tpu.Pitch(80, 16000, algorithm="yin",
     ...                         out_format="f0", f_min=80, f_max=400)(x)
@@ -227,7 +227,6 @@ class SpectrumExtractionBySTRAIGHT:
         if fft_length < frame_length:
             raise ValueError(f"fft_length must be at least {frame_length}.")
         self.frame_length = frame_length
-        self.frame = Frame(frame_length, frame_period, zmean=True)
 
         # Pitch-synchronous Gaussian-Bartlett window seed
         # (pitch_spec.py:377-392).
@@ -302,7 +301,12 @@ class SpectrumExtractionBySTRAIGHT:
         f0 = jnp.where(unvoiced, self.default_f0, f0)
         nframe = f0.shape[-2]
 
-        tx = self.frame(xh[..., 0, :])[..., :nframe, :]
+        # row count follows the f0 track (see
+        # world_common.frames_matching_f0); Frame would emit
+        # (T-1)//P+1 rows, one short when P | T
+        tx = frames_matching_f0(xh[..., 0, :], nframe,
+                                self.frame_length, self.frame_period,
+                                mode="constant", zmean=True)
         ttf = self.tt * f0                                  # (..., N, Lf)
 
         def safe_div(a, b):

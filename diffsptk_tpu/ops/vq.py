@@ -66,11 +66,18 @@ class VectorQuantization(BaseNonFunctionalOp):
 class InverseVectorQuantization(BaseNonFunctionalOp):
     """Codebook lookup: indices -> xq."""
 
-    def __init__(self, vq: VectorQuantization) -> None:
+    def __init__(self, vq: VectorQuantization | None = None) -> None:
+        # The reference ctor takes no arguments; the codebook arrives at
+        # call time (reference: ivq.py Examples).  Binding a VQ instance
+        # here is an optional convenience.
         self.vq = vq
 
     def __call__(self, indices: jnp.ndarray, codebook=None) -> jnp.ndarray:
-        codebook = self.vq.codebook if codebook is None else codebook
+        if codebook is None:
+            if self.vq is None:
+                raise ValueError(
+                    "pass a codebook at call time or bind a VQ instance.")
+            codebook = self.vq.codebook
         return codebook[indices]
 
 
@@ -118,12 +125,17 @@ class MultiStageVectorQuantization(BaseNonFunctionalOp):
 class InverseMultiStageVectorQuantization(BaseNonFunctionalOp):
     """Cumulative codebook sum: indices (..., Q) -> xq."""
 
-    def __init__(self, msvq: MultiStageVectorQuantization) -> None:
+    def __init__(self,
+                 msvq: MultiStageVectorQuantization | None = None) -> None:
+        # Reference ctor takes no arguments (imsvq.py Examples).
         self.msvq = msvq
 
     def __call__(self, indices: jnp.ndarray, codebooks=None) -> jnp.ndarray:
-        codebooks = (self.msvq.codebooks if codebooks is None
-                     else codebooks)
+        if codebooks is None:
+            if self.msvq is None:
+                raise ValueError(
+                    "pass codebooks at call time or bind an MSVQ instance.")
+            codebooks = self.msvq.codebooks
         out = 0.0
         for q in range(indices.shape[-1]):
             out = out + codebooks[q][indices[..., q]]

@@ -104,6 +104,33 @@ def get_minimum_phase_spectrum(spectrum):
     return jnp.exp(C.real) * jnp.exp(1j * C.imag)
 
 
+def frames_matching_f0(x, n_frames, frame_length, frame_period,
+                       mode="edge", zmean=False):
+    """Centered, replicate-padded frames of x — exactly ``n_frames`` rows.
+
+    Equivalent to Frame(center=True, mode="replicate") for the frames
+    both produce, but the row count follows the f0 track instead of T:
+    the pitch modules emit T // P + 1 frames (reference pitch.py hop
+    framing) while Frame emits (T - 1) // P + 1, and the two disagree
+    when P divides T — a composition the reference never exercises (its
+    WORLD tests feed SPTK-CLI f0 tracks of T / P frames,
+    tests/test_world_synth.py:38) and which would crash upstream.  Here
+    analysis always yields one spectrum per f0 frame.
+    """
+    L, P = frame_length, frame_period
+    T = x.shape[-1]
+    # right padding must cover the last frame: (n_frames-1)*P + L-1
+    # indexes into x padded by L//2 on the left
+    right = max((n_frames - 1) * P + L - L // 2 - T, 0)
+    cfg = [(0, 0)] * (x.ndim - 1) + [(L // 2, right)]
+    xp = jnp.pad(x, cfg, mode=mode)
+    idx = np.arange(n_frames)[:, None] * P + np.arange(L)[None, :]
+    y = xp[..., idx]
+    if zmean:
+        y = y - jnp.mean(y, axis=-1, keepdims=True)
+    return y
+
+
 def get_windowed_waveform(x, f0, window_length_ratio, bias_ratio,
                           frame_period, sample_rate, fft_length, window_type,
                           normalize_window, eps, ramp, key=None,
@@ -127,9 +154,8 @@ def get_windowed_waveform(x, f0, window_length_ratio, bias_ratio,
         window = window / jnp.linalg.norm(window, axis=-1, keepdims=True)
 
     if frames is None:
-        frames = Frame._forward(
-            x, frame_length=fft_length, frame_period=frame_period,
-            center=True, zmean=False, mode="replicate")
+        frames = frames_matching_f0(x, window.shape[-2], fft_length,
+                                    frame_period)
     waveform = frames * window
     if eps > 0:
         if key is None:

@@ -66,7 +66,7 @@ class WorldSynthesis(BaseNonFunctionalOp):
     --------
     >>> import jax.numpy as jnp
     >>> import diffsptk_tpu
-    >>> t = jnp.arange(3200.0) / 16000
+    >>> t = jnp.arange(3199.0) / 16000   # T % P != 0 (see Pitch framing)
     >>> x = jnp.sin(2 * jnp.pi * 220 * t)
     >>> f0 = diffsptk_tpu.Pitch(80, 16000, algorithm="yin",
     ...                         out_format="f0", f_min=80, f_max=400)(x)

@@ -145,7 +145,10 @@ def test_sharded_world_matches_single(mesh_shape, data_wav):
     single = WorldVocoder(80, 16000, 1024)
     sharded = ShardedWorldVocoder(mesh, 80, 16000, 1024)
 
-    f0_ref, ap_ref, sp_ref = single.analyze(xb)
+    # even_frames: the sharded layout carries T//P frames per device
+    # uniformly; the single-device chain's extra edge frame (reference
+    # hop-framing) is dropped for the comparison
+    f0_ref, ap_ref, sp_ref = single.analyze(xb, even_frames=True)
     f0, ap, sp = jax.jit(sharded.analyze)(xb)
     U.assert_close(np.asarray(f0), np.asarray(f0_ref), rtol=1e-6, atol=1e-8)
     U.assert_close(np.asarray(ap), np.asarray(ap_ref), rtol=1e-4, atol=1e-6)

@@ -245,3 +245,65 @@ def test_pitch_out_format_consistency():
     U.assert_close(lf0[voiced], np.log(f0[voiced]), rtol=1e-5, atol=1e-6)
     assert np.all(pitch[~voiced] == 0)
     assert np.all(lf0[~voiced] == -1.0e10)
+
+
+# ---------------------------------------------------------------- round 2
+@pytest.mark.parametrize("p", [1, 4])
+def test_dtw_metric_grid(p):
+    """All four distance metrics x two constraint sets vs the reference
+    (reference: tests/test_dtw.py sweeps both grids)."""
+    x = np.abs(RNG.standard_normal((6, 3))) + 0.1   # positive for KL
+    y = np.abs(RNG.standard_normal((8, 3))) + 0.1
+
+    def ours(m):
+        return diffsptk_tpu.DTW(metric=m, p=p)(U.to_jax(x), U.to_jax(y))
+
+    def ref(m):
+        return reference.DTW(metric=m, p=p)(
+            U.to_torch(x), U.to_torch(y)).numpy()
+
+    _sweep(ours, ref, [0, 1, 2, 3, "manhattan", "euclidean",
+                       "squared-euclidean", "symmetric-kl"],
+           rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("abs_max", [1.0, 4.0])
+def test_companding_param_grid(abs_max):
+    """a-law/mu-law round trips across compression parameters
+    (reference: tests/test_alaw.py / test_ulaw.py grids)."""
+    x = RNG.uniform(-abs_max, abs_max, 64)
+    for a in (40.0, 87.6):
+        U.check_parity(diffsptk_tpu.ALawCompression(abs_max, a),
+                       reference.ALawCompression(abs_max, a), x)
+        U.check_parity(diffsptk_tpu.ALawExpansion(abs_max, a),
+                       reference.ALawExpansion(abs_max, a), x)
+    for mu in (63, 255, 1023):
+        U.check_parity(diffsptk_tpu.MuLawCompression(abs_max, mu),
+                       reference.MuLawCompression(abs_max, mu), x)
+        U.check_parity(diffsptk_tpu.MuLawExpansion(abs_max, mu),
+                       reference.MuLawExpansion(abs_max, mu), x)
+
+
+@pytest.mark.parametrize("size", [3, 5, 9])
+def test_medfilt_size_grid(size):
+    x = RNG.standard_normal(40)
+    U.check_parity(diffsptk_tpu.MedianFilter(size),
+                   reference.MedianFilter(size), x)
+
+
+@pytest.mark.parametrize("start,keeplen", [(3, False), (3, True),
+                                           (-2, False), (-2, True),
+                                           (0, False)])
+def test_delay_grid(start, keeplen):
+    x = RNG.standard_normal(20)
+    U.check_parity(diffsptk_tpu.Delay(start, keeplen=keeplen),
+                   reference.Delay(start, keeplen=keeplen), x)
+
+
+@pytest.mark.parametrize("period,start", [(2, 0), (3, 1), (5, 4)])
+def test_decimate_interpolate_grid(period, start):
+    x = RNG.standard_normal(30)
+    U.check_parity(diffsptk_tpu.Decimation(period, start),
+                   reference.Decimation(period, start), x)
+    U.check_parity(diffsptk_tpu.Interpolation(period, start),
+                   reference.Interpolation(period, start), x)

@@ -1,0 +1,184 @@
+"""Train FCNF0++ on synthetic pitched audio, producing the bundled
+checkpoint ``diffsptk_tpu/assets/fcnf0_synth.npz``.
+
+Same rationale as tools/train_crepe_tiny.py: this image has no network
+egress for the released penn weights (reference: pitch.py:342 loads them
+via penn), so the same public architecture [Morrison et al. 2023] is
+trained from scratch on a synthetic corpus with exactly known f0.
+
+Differences from the CREPE recipe, driven by the FCNF0 decoder
+(ops/pitch_nn.py:calc_pitch):
+
+* categorical softmax cross-entropy over the 1440 5-cent bins (penn's
+  loss), targets Gaussian-blurred by 25 cents and normalized to sum 1;
+* unvoiced frames train toward the UNIFORM distribution — the decoder's
+  voicing gate is normalized inverse entropy, so maximum-entropy output
+  on aperiodic input is precisely the "unvoiced" signal;
+* the corpus is generated at 8 kHz (penn's native rate) with f0
+  log-uniform in [41, 1300] Hz, inside the decodable bin range;
+* per-frame random gain in [0.03, 1.0] instead of unit normalization:
+  the eval path feeds raw reflect-padded frames (no zmean/std), and the
+  first LayerNorm must learn scale robustness.
+
+The architecture has no running statistics (LayerNorm only), so the
+training forward IS ops/pitch_nn.fcnf0_forward and the checkpoint is the
+plain parameter dict.
+
+Run:  python tools/train_fcnf0.py [--steps N] [--batch B] [--out F]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsptk_tpu.ops.pitch_nn import (
+    PENN_CENTS_PER_BIN,
+    PENN_FMIN,
+    PENN_PITCH_BINS,
+    PENN_SAMPLE_RATE,
+    PENN_WINDOW_SIZE,
+    fcnf0_forward,
+    init_fcnf0_params,
+)
+
+TARGET_STD_CENTS = 25.0
+
+
+# ------------------------------------------------------------ data synth
+def synth_batch(rng: np.random.Generator, batch: int):
+    """(frames (B, 1024) float32, targets (B, 1440) float32 summing to 1)."""
+    B, W, SR = batch, PENN_WINDOW_SIZE, PENN_SAMPLE_RATE
+    t = np.arange(W) / SR
+
+    f0 = np.exp(rng.uniform(np.log(41.0), np.log(1300.0), B))
+    drift = rng.uniform(-0.02, 0.02, B)
+    inst_f0 = f0[:, None] * (1 + drift[:, None] * (t[None, :] * SR / W))
+    phase = 2 * np.pi * np.cumsum(inst_f0, axis=1) / SR
+
+    K = 24
+    k = np.arange(1, K + 1)
+    rolloff = k[None, :] ** -rng.uniform(0.3, 2.5, (B, 1))
+    env = rolloff.copy()
+    n_formants = rng.integers(0, 4, B)
+    fc = np.exp(rng.uniform(np.log(150.0), np.log(3000.0), (B, 3)))
+    bw = rng.uniform(60.0, 500.0, (B, 3))
+    gain = rng.uniform(0.0, 8.0, (B, 3))
+    hfreq = f0[:, None] * k[None, :]
+    for j in range(3):
+        active = (n_formants > j)[:, None]
+        bump = gain[:, j:j + 1] * np.exp(
+            -0.5 * ((hfreq - fc[:, j:j + 1]) / bw[:, j:j + 1]) ** 2)
+        env = env * np.where(active, 1 + bump, 1.0)
+    env = env * (hfreq < SR / 2 - 150)          # anti-alias
+
+    phases0 = rng.uniform(0, 2 * np.pi, (B, K))
+    x = np.einsum("bk,bkt->bt", env,
+                  np.sin(k[None, :, None] * phase[:, None, :]
+                         + phases0[:, :, None]))
+    x = x / np.maximum(np.abs(x).max(axis=1, keepdims=True), 1e-9)
+
+    snr_db = rng.uniform(0.0, 40.0, B)
+    sig_pow = np.mean(x ** 2, axis=1)
+    noise_pow = sig_pow / 10 ** (snr_db / 10)
+    x = x + rng.standard_normal((B, W)) * np.sqrt(noise_pow)[:, None]
+
+    bins = 1200 * np.log2(f0 / PENN_FMIN) / PENN_CENTS_PER_BIN
+    bc = np.arange(PENN_PITCH_BINS)
+    target = np.exp(-0.5 * ((bc[None, :] - bins[:, None])
+                            * PENN_CENTS_PER_BIN / TARGET_STD_CENTS) ** 2)
+
+    unvoiced = rng.random(B) < 0.10
+    x[unvoiced] = rng.standard_normal((int(unvoiced.sum()), W))
+    target[unvoiced] = 1.0                      # -> uniform after norm
+
+    # raw-amplitude input (see module docstring): random per-frame gain
+    x = x * rng.uniform(0.03, 1.0, (B, 1))
+    target = target / target.sum(axis=1, keepdims=True)
+    return x.astype(np.float32), target.astype(np.float32)
+
+
+# ----------------------------------------------------------------- train
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="diffsptk_tpu/assets/fcnf0_synth.npz")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (cpu/axon)")
+    args = ap.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    params = {k: jnp.asarray(v)
+              for k, v in init_fcnf0_params(args.seed).items()}
+    m = {k: jnp.zeros_like(v) for k, v in params.items()}
+    v = {k: jnp.zeros_like(p) for k, p in params.items()}
+
+    def loss_fn(p, x, target):
+        logits = fcnf0_forward(p, x)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.sum(target * logp, axis=-1))
+
+    @jax.jit
+    def step_fn(p, m, v, x, target, t):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, target)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        new_p, new_m, new_v = {}, {}, {}
+        for k in p:
+            g = grads[k]
+            new_m[k] = b1 * m[k] + (1 - b1) * g
+            new_v[k] = b2 * v[k] + (1 - b2) * g * g
+            mhat = new_m[k] / (1 - b1 ** t)
+            vhat = new_v[k] / (1 - b2 ** t)
+            new_p[k] = p[k] - args.lr * mhat / (jnp.sqrt(vhat) + eps)
+        return new_p, new_m, new_v, loss
+
+    @jax.jit
+    def eval_fn(p, x):
+        logits = fcnf0_forward(p, x)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ent = -jnp.sum(probs * jnp.log(jnp.maximum(probs, 1e-20)), axis=-1)
+        periodicity = 1.0 - ent / math.log(PENN_PITCH_BINS)
+        return jnp.argmax(probs, axis=-1), periodicity
+
+    rng = np.random.default_rng(args.seed + 1)
+    t0 = time.time()
+    for step in range(1, args.steps + 1):
+        x, target = synth_batch(rng, args.batch)
+        params, m, v, loss = step_fn(params, m, v, jnp.asarray(x),
+                                     jnp.asarray(target), step)
+        if step % 500 == 0 or step == args.steps:
+            xe, te = synth_batch(rng, 256)
+            bins_hat, period = eval_fn(params, jnp.asarray(xe))
+            bins_hat = np.asarray(bins_hat)
+            period = np.asarray(period)
+            voiced = te.max(axis=1) > 2.0 / PENN_PITCH_BINS
+            true_bins = te.argmax(axis=1)
+            err_cents = np.abs(bins_hat - true_bins)[voiced] \
+                * PENN_CENTS_PER_BIN
+            rpa50 = float((err_cents <= 50).mean())
+            rate = step * args.batch / (time.time() - t0)
+            print(f"step {step:6d} loss {float(loss):.4f} "
+                  f"RPA50 {rpa50:.3f} "
+                  f"P_v {float(period[voiced].mean()):.2f} "
+                  f"P_u {float(period[~voiced].mean()):.2f} "
+                  f"({rate:.0f} frames/s)", flush=True)
+
+    np.savez(args.out, **{k: np.asarray(p) for k, p in params.items()})
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -102,9 +102,10 @@ def _to_ours(v):
 
 def _to_torch(v):
     if isinstance(v, jnp.ndarray):
-        return torch.from_numpy(np.asarray(v))
+        # copy: jax device buffers view as read-only numpy arrays
+        return torch.from_numpy(np.array(v))
     if isinstance(v, np.ndarray):
-        return torch.from_numpy(v)
+        return torch.from_numpy(v.copy())
     if isinstance(v, (list, tuple)):
         return type(v)(_to_torch(x) for x in v)
     return v
@@ -160,11 +161,17 @@ class Shim:
 
 
 # ------------------------------------------------------------------ runner
+_EXTRA_FILES = [
+    pathlib.Path("/root/reference/diffsptk/signals.py"),
+    pathlib.Path("/root/reference/diffsptk/utils/public.py"),
+]
+
+
 def collect_cases():
     """Yield (case_id, items) for every deterministic golden example."""
-    for path in sorted(MODULE_DIR.glob("*.py")):
-        if path.name in ("base.py", "__init__.py"):
-            continue
+    paths = [p for p in sorted(MODULE_DIR.glob("*.py"))
+             if p.name not in ("base.py", "__init__.py")] + _EXTRA_FILES
+    for path in paths:
         src = path.read_text()
         for i, items in enumerate(iter_examples(src)):
             code = "\n".join(c for it in items for c in it[0])

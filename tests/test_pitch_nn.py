@@ -306,3 +306,61 @@ def test_crepe_tiny_voicing_on_noise():
                                out_format="f0")
     f0 = np.asarray(pitch(jnp.asarray(x)))
     assert (f0 == 0).mean() > 0.8, (f0 > 0).mean()
+
+
+# ------------------------------------------------- bundled FCNF0 accuracy
+@pytest.mark.skipif(_bundled("fcnf0_synth.npz") is None,
+                    reason="bundled fcnf0 checkpoint not built")
+def test_fcnf0_accuracy_on_tones():
+    """The bundled synthetic-corpus FCNF0 checkpoint must track known f0
+    on held-out harmonic tones: median error < 20 cents, RPA50 > 0.9
+    (mirror of test_crepe_tiny_accuracy_on_tones; reference default
+    algorithm is fcnf0, pitch.py:76)."""
+    rng = np.random.RandomState(11)
+    sr = 16000
+    t = np.arange(sr) / sr
+    errs = []
+    for f0 in [82.4, 110.0, 146.8, 220.0, 329.6, 440.0, 587.3, 784.0]:
+        x = np.zeros_like(t)
+        for k in range(1, 9):
+            if k * f0 < sr / 2 - 200:
+                x += k ** -1.2 * np.sin(2 * np.pi * k * f0 * t
+                                        + rng.uniform(0, 2 * np.pi))
+        x += 0.01 * rng.randn(len(t))
+        pitch = diffsptk_tpu.Pitch(80, sr, algorithm="fcnf0",
+                                   out_format="f0")
+        est = np.asarray(pitch(jnp.asarray(x)))
+        voiced = est[20:-20]
+        voiced = voiced[voiced > 0]
+        assert voiced.size > 100, f"{f0} Hz: mostly unvoiced"
+        cents = 1200 * np.abs(np.log2(voiced / f0))
+        errs.append(np.median(cents))
+        assert (cents <= 50).mean() > 0.9, (f0, (cents <= 50).mean())
+    assert np.median(errs) < 20, errs
+
+
+@pytest.mark.skipif(_bundled("fcnf0_synth.npz") is None,
+                    reason="bundled fcnf0 checkpoint not built")
+def test_fcnf0_voicing_on_noise():
+    rng = np.random.RandomState(5)
+    x = rng.randn(8000) * 0.3
+    pitch = diffsptk_tpu.Pitch(80, SR, algorithm="fcnf0", out_format="f0")
+    f0 = np.asarray(pitch(jnp.asarray(x)))
+    assert (f0 == 0).mean() > 0.8, (f0 > 0).mean()
+
+
+@pytest.mark.skipif(_bundled("fcnf0_synth.npz") is None,
+                    reason="bundled fcnf0 checkpoint not built")
+def test_fcnf0_agrees_with_yin_on_speech(data_wav):
+    x = np.asarray(data_wav)
+    yin = np.asarray(diffsptk_tpu.Pitch(80, SR, algorithm="yin",
+                                        out_format="f0",
+                                        f_min=60, f_max=400)(jnp.asarray(x)))
+    fc = np.asarray(diffsptk_tpu.Pitch(80, SR, algorithm="fcnf0",
+                                       out_format="f0",
+                                       f_min=60, f_max=400)(jnp.asarray(x)))
+    n = min(len(yin), len(fc))
+    both = (yin[:n] > 0) & (fc[:n] > 0)
+    assert both.sum() > 20
+    cents = 1200 * np.abs(np.log2(fc[:n][both] / yin[:n][both]))
+    assert np.median(cents) < 60, np.median(cents)

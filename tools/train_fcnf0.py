@@ -175,6 +175,9 @@ def main():
                   f"P_v {float(period[voiced].mean()):.2f} "
                   f"P_u {float(period[~voiced].mean()):.2f} "
                   f"({rate:.0f} frames/s)", flush=True)
+            # periodic checkpoint: long CPU runs must survive interruption
+            np.savez(args.out,
+                     **{k: np.asarray(p) for k, p in params.items()})
 
     np.savez(args.out, **{k: np.asarray(p) for k, p in params.items()})
     print(f"wrote {args.out}")

@@ -114,6 +114,8 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="diffsptk_tpu/assets/fcnf0_synth.npz")
+    ap.add_argument("--resume", default=None,
+                    help="npz checkpoint to continue from")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu/axon)")
     args = ap.parse_args()
@@ -121,8 +123,12 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    params = {k: jnp.asarray(v)
-              for k, v in init_fcnf0_params(args.seed).items()}
+    if args.resume:
+        params = {k: jnp.asarray(v)
+                  for k, v in np.load(args.resume).items()}
+    else:
+        params = {k: jnp.asarray(v)
+                  for k, v in init_fcnf0_params(args.seed).items()}
     m = {k: jnp.zeros_like(v) for k, v in params.items()}
     v = {k: jnp.zeros_like(p) for k, p in params.items()}
 

@@ -1,0 +1,203 @@
+"""Fused MLSA Taylor cascade (Pallas TPU kernel).
+
+The multi-stage MLSA filter runs S (default 20) *sequential* stages of
+the same frame-blocked FFT FIR (ops/zerodf.py:zerodf_fft): each stage
+re-frames the previous stage's output, transforms, multiplies by the
+shared per-frame coefficient spectrum, inverse-transforms, and
+lerp-blends adjacent frames.  As XLA ops every stage round-trips its
+(N, nfft) intermediates through HBM — ~20x the traffic the math needs
+(docs/roofline.md).
+
+This kernel keeps ONE batch row's signal resident in VMEM across all S
+stages.  Per stage, per row:
+
+  ctx  = overlapping (N, nfft) frames of the padded signal  (VMEM slices)
+  X    = ctx @ F          (direct real DFT as two MXU matmuls)
+  Y    = X * cspec        (complex multiply, VPU)
+  U    = Y @ G            (inverse DFT evaluated ONLY at the 2P samples
+                           the lerp blend consumes — samples M..M+2P-1)
+  x'   = lerp(U) * w_s ;  y += a_s * x'
+
+The direct DFT costs ~4x the Cooley-Tukey FLOPs of kernels/mxu_fft, but
+every operand stays in VMEM and the inverse transform is sliced to
+2P/nfft of its columns, so the stage's HBM traffic is zero.  Gradients:
+jax.custom_vjp with the backward pass taken from the pure-XLA
+implementation (identical math; synthesis inference is the hot path).
+
+Status: correctness-validated in interpreter mode; enable in
+MultiStageFIRFilter via ``mode="fused"`` once benchmarked on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_plan(nfft: int, m: int, p: int):
+    """Forward DFT (nfft, K) and inverse slice (K, 2P) matrices."""
+    K = nfft // 2 + 1
+    t = np.arange(nfft)
+    k = np.arange(K)
+    ang = 2.0 * np.pi * np.outer(t, k) / nfft
+    F_re = np.cos(ang).astype(np.float32)
+    F_im = (-np.sin(ang)).astype(np.float32)
+    # irfft(Y)[m + tau], tau in [0, 2P):  (1/nfft) sum_k w_k *
+    #   (Yre cos(2 pi k (m+tau) / nfft) - Yim sin(...)),  w = [1,2,..,2,1]
+    w = np.full(K, 2.0)
+    w[0] = w[-1] = 1.0
+    tau = m + np.arange(2 * p)
+    ang2 = 2.0 * np.pi * np.outer(k, tau) / nfft
+    G_re = (w[:, None] * np.cos(ang2) / nfft).astype(np.float32)
+    G_im = (-w[:, None] * np.sin(ang2) / nfft).astype(np.float32)
+    return F_re, F_im, G_re, G_im
+
+
+def _cascade_kernel(wa_ref, x_ref, cre_ref, cim_ref, fre_ref, fim_ref,
+                    gre_ref, gim_ref, out_ref, xp_ref, *, n_frames, P, M,
+                    advance, n_stages, nfft):
+    N, L = n_frames, 2 * P + M
+    T = N * P
+    PADL = P + M - advance
+    Nb = xp_ref.shape[0] // P           # padded row count
+    n_blk = (nfft + P - 1) // P         # shifted slices per context row
+
+    xp_ref[:] = jnp.zeros_like(xp_ref)
+    xp_ref[pl.ds(PADL, T)] = x_ref[0]
+    out_ref[:] = wa_ref[1, 0] * x_ref[:]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_blk * P), 1)
+    ctx_mask = (col < L).astype(jnp.float32)
+    lam = (jax.lax.broadcasted_iota(jnp.float32, (N, P), 1)
+           * (1.0 / P))
+
+    cre = cre_ref[0]
+    cim = cim_ref[0]
+
+    def stage(s, _):
+        xq = xp_ref[:].reshape(Nb, P)
+        parts = [jax.lax.dynamic_slice(xq, (0, 0), (N, P))]
+        for i in range(1, n_blk):
+            parts.append(jax.lax.dynamic_slice(xq, (i, 0), (N, P)))
+        ctx = jnp.concatenate(parts, axis=1) * ctx_mask   # (N, n_blk*P)
+        ctx = ctx[:, :nfft]
+
+        Xre = jnp.dot(ctx, fre_ref[:],
+                      preferred_element_type=jnp.float32)
+        Xim = jnp.dot(ctx, fim_ref[:],
+                      preferred_element_type=jnp.float32)
+        Yre = Xre * cre - Xim * cim
+        Yim = Xre * cim + Xim * cre
+        U = (jnp.dot(Yre, gre_ref[:], preferred_element_type=jnp.float32)
+             + jnp.dot(Yim, gim_ref[:],
+                       preferred_element_type=jnp.float32))   # (N, 2P)
+
+        lo = U[:, P:]
+        hi_head = jax.lax.dynamic_slice(U, (1, 0), (N - 1, P)) \
+            if N > 1 else U[:0, :P]
+        hi = jnp.concatenate([hi_head, U[N - 1:, P:]], axis=0)
+        w_s = wa_ref[0, s]
+        xnew = (lo * (1.0 - lam) + hi * lam) * w_s          # (N, P)
+
+        out_ref[:] = out_ref[:] + wa_ref[1, s] * xnew.reshape(1, T)
+        xp_ref[pl.ds(PADL, T)] = xnew.reshape(T)
+        return 0
+
+    jax.lax.fori_loop(1, n_stages + 1, stage, 0)
+
+
+def _cascade_pallas(x, cspec, weights, a, P, M, advance, nfft,
+                    interpret=False):
+    """x (B, T) f32, cspec (B, N, K) complex -> y (B, T) f32."""
+    B, T = x.shape
+    N = T // P
+    K = nfft // 2 + 1
+    S = weights.shape[0] - 1
+    F_re, F_im, G_re, G_im = _dft_plan(nfft, M, P)
+    Nb = (T + P + M + P - 1) // P + ((nfft + P - 1) // P)
+    wa = jnp.stack([weights, a]).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _cascade_kernel, n_frames=N, P=P, M=M, advance=advance,
+        n_stages=S, nfft=nfft)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # wa
+            pl.BlockSpec((1, T), lambda b: (b, 0)),         # x
+            pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),   # cspec re
+            pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),   # cspec im
+            pl.BlockSpec((nfft, K), lambda b: (0, 0)),      # F_re
+            pl.BlockSpec((nfft, K), lambda b: (0, 0)),      # F_im
+            pl.BlockSpec((K, 2 * P), lambda b: (0, 0)),     # G_re
+            pl.BlockSpec((K, 2 * P), lambda b: (0, 0)),     # G_im
+        ],
+        out_specs=pl.BlockSpec((1, T), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Nb * P,), jnp.float32)],
+        interpret=interpret,
+    )(wa, x, jnp.real(cspec).astype(jnp.float32),
+      jnp.imag(cspec).astype(jnp.float32), F_re, F_im, G_re, G_im)
+
+
+def _cascade_xla(x, c, weights, a, P, advance, nfft):
+    """Reference XLA implementation (ops/zerodf.py path) for the
+    backward pass and non-TPU platforms."""
+    from ..kernels import mxu_fft
+    from ..ops.zerodf import zerodf_fft
+
+    c_spec = mxu_fft.rfft(c, nfft)
+    y = x * a[0]
+    for i in range(1, a.shape[0]):
+        x = zerodf_fft(x, c, P, advance=advance, b_spec=c_spec,
+                       nfft=nfft) * weights[i]
+        y = y + x * a[i]
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def taylor_cascade(x, c, weights, a, P, advance, nfft):
+    """Fused Taylor-cascade MLSA filter.
+
+    x (..., T) f32; c (..., N, M+1) stage coefficients; weights/a (S+1,).
+    Forward runs the VMEM-resident Pallas kernel on TPU (XLA fallback
+    elsewhere); backward differentiates the XLA formulation.
+    """
+    return _taylor_cascade_fwd(x, c, weights, a, P, advance, nfft)[0]
+
+
+def _taylor_cascade_fwd(x, c, weights, a, P, advance, nfft):
+    from ..kernels import mxu_fft
+
+    out_shape = x.shape
+    if mxu_fft.use_mxu(x.dtype, nfft):
+        M = c.shape[-1] - 1
+        xb = x.reshape(-1, x.shape[-1])
+        cb = jnp.broadcast_to(
+            c, x.shape[:-1] + c.shape[-2:]).reshape(
+                -1, c.shape[-2], c.shape[-1])
+        cspec = mxu_fft.rfft(cb, nfft)
+        y = _cascade_pallas(xb, cspec, weights, a, P, M, advance, nfft)
+        y = y.reshape(out_shape)
+    else:
+        y = _cascade_xla(x, c, weights, a, P, advance, nfft)
+    return y, (x, c, weights, a)
+
+
+def _taylor_cascade_bwd(P, advance, nfft, res, g):
+    x, c, weights, a = res
+    _, vjp = jax.vjp(
+        lambda x_, c_, w_, a_: _cascade_xla(x_, c_, w_, a_, P, advance,
+                                            nfft),
+        x, c, weights, a)
+    return vjp(g)
+
+
+taylor_cascade.defvjp(_taylor_cascade_fwd, _taylor_cascade_bwd)

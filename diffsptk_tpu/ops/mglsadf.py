@@ -73,12 +73,19 @@ class MultiStageFIRFilter:
 
     def __init__(self, filter_order, frame_period, *, alpha=0.0, gamma=0.0,
                  ignore_gain=False, phase="minimum", taylor_order=20,
-                 cep_order=199, n_fft=512, learnable=False, dtype=None):
+                 cep_order=199, n_fft=512, cascade="stages",
+                 learnable=False, dtype=None):
         if taylor_order < 0:
             raise ValueError("taylor_order must be non-negative.")
+        if cascade not in ("stages", "fused"):
+            raise ValueError("cascade must be 'stages' or 'fused'.")
         self.ignore_gain = ignore_gain
         self.phase = phase
         self.frame_period = frame_period
+        # "fused": single VMEM-resident Pallas kernel for the whole
+        # Taylor cascade (kernels/pallas_mlsa.py) on TPU; "stages":
+        # stage-by-stage XLA graph (both are bit-level the same math)
+        self.cascade = cascade
 
         if alpha == 0 and gamma == 0:
             cep_order = filter_order
@@ -142,17 +149,24 @@ class MultiStageFIRFilter:
         if M + 1 > 32:
             # Every Taylor stage filters with the same coefficients, so
             # the per-frame coefficient spectrum is shared across stages.
-            from ..kernels import mxu_fft
-            from .zerodf import _next_pow2, zerodf_fft
+            from .zerodf import _next_pow2
             P = self.frame_period
             nfft = _next_pow2(2 * P + M + 1)
-            c_spec = mxu_fft.rfft(c, nfft)
             advance = self.zerodf.padding[1]
-            y = x * a[0]
-            for i in range(1, a.shape[0]):
-                x = zerodf_fft(x, c, P, advance=advance, b_spec=c_spec,
-                               nfft=nfft) * self.weights[i]
-                y = y + x * a[i]
+            if self.cascade == "fused":
+                from ..kernels.pallas_mlsa import taylor_cascade
+                y = taylor_cascade(x, c, self.weights, a, P, advance,
+                                   nfft)
+            else:
+                from ..kernels import mxu_fft
+                from .zerodf import zerodf_fft
+                c_spec = mxu_fft.rfft(c, nfft)
+                y = x * a[0]
+                for i in range(1, a.shape[0]):
+                    x = zerodf_fft(x, c, P, advance=advance,
+                                   b_spec=c_spec,
+                                   nfft=nfft) * self.weights[i]
+                    y = y + x * a[i]
         else:
             y = x * a[0]
             for i in range(1, a.shape[0]):

@@ -25,7 +25,8 @@ class MelCepstralVocoder:
                  fft_length: int = 512, cep_order: int = 24,
                  alpha: float = 0.42, n_iter: int = 10,
                  taylor_order: int = 20, cep_order_mlsa: int = 199,
-                 mode: str = "multi-stage") -> None:
+                 mode: str = "multi-stage",
+                 cascade: str = "stages") -> None:
         self.frame_period = frame_period
         self.stft = ShortTimeFourierTransform(
             frame_length, frame_period, fft_length, eps=0,
@@ -38,6 +39,7 @@ class MelCepstralVocoder:
             kwargs["cep_order"] = cep_order_mlsa
         if mode == "multi-stage":
             kwargs["taylor_order"] = taylor_order
+            kwargs["cascade"] = cascade
         self.mlsa = PseudoMGLSADigitalFilter(cep_order, frame_period,
                                              **kwargs)
         self.imlsa = PseudoInverseMGLSADigitalFilter(cep_order, frame_period,

@@ -181,7 +181,10 @@ def test_crepe_converter_round_trip(tmp_path):
     import torch
     from diffsptk_tpu.ops.pitch_nn import crepe_forward
 
-    net = _torch_crepe("tiny", seed=1)
+    # .float(): tests/oracle.py flips torch's default dtype to float64
+    # process-wide, so under the full suite the net would otherwise be
+    # built f64 and reject the f32 input
+    net = _torch_crepe("tiny", seed=1).float()
     pth = tmp_path / "tiny.pth"
     torch.save(net.state_dict(), str(pth))
 
@@ -219,7 +222,8 @@ def test_fcnf0_converter_round_trip(tmp_path):
         ln_mod.bias.data.normal_(0, 0.5)
         layers.append(ln_mod)
     layers.append(torch.nn.Conv1d(512, 1440, 4))
-    net = torch.nn.Sequential(*layers).eval()
+    # .float(): see test_crepe_converter_round_trip (oracle sets f64)
+    net = torch.nn.Sequential(*layers).eval().float()
 
     pth = tmp_path / "fcnf0.pt"
     torch.save(net.state_dict(), str(pth))

@@ -26,6 +26,11 @@ def exchange_halo(x: jnp.ndarray, left: int, right: int, axis_name: str,
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     axis = axis % x.ndim
+    if max(left, right) > x.shape[axis]:
+        raise ValueError(
+            f"halo ({left}, {right}) exceeds the local block length "
+            f"{x.shape[axis]}: ppermute reaches only the immediate "
+            f"neighbor — enlarge the per-shard block or reduce the halo.")
 
     def take(a, sl):
         ix = [slice(None)] * a.ndim

@@ -126,6 +126,72 @@ class ShardedMelCepstralVocoder:
         K = jnp.exp(k_lo[..., None] * (1 - lam) + k_hi[..., None] * lam)
         return y * K.reshape(*x_blk.shape)
 
+    def _local_mlsa_bulk(self, x_blk: jnp.ndarray,
+                         mc_blk: jnp.ndarray) -> jnp.ndarray:
+        """Same filter, ONE bulk halo exchange for all S stages.
+
+        The per-stage halo pair costs 2S ppermute sends on the critical
+        path; here the block is extended once by the full S-stage
+        dependency cone (frame-aligned: S*ceil((P+M)/P) frames left,
+        S frames right) and every stage runs locally on the extended
+        buffer, re-imposing the global zero padding between stages so
+        edge semantics stay bitwise those of the per-stage path.  The
+        price is redundant edge compute (~S*(2P+M) samples per shard),
+        amortized for T_local >> S*(P+M) — the multi-host latency
+        trade described in docs/parallel.md.
+        """
+        Pd = self.frame_period
+        M = self.cep_order_mlsa
+        S = self.taylor_order
+        nfft = _next_pow2(2 * Pd + M + 1)
+        n_local = mc_blk.shape[-2]
+        ntp = self.mesh.shape[self.tp]
+        T_l = x_blk.shape[-1]
+        hl_f = S * (-(-(Pd + M) // Pd))
+        hr_f = S
+        hl, hr = hl_f * Pd, hr_f * Pd
+
+        c = self.mgc2c(mc_blk)
+        c0, c = remove_gain(c, value=0.0, return_gain=True)
+        c_ext = exchange_halo(c, hl_f, hr_f + 1, self.tp, axis=-2,
+                              pad_mode="edge")
+        c0_ext = exchange_halo(c0, 0, 1, self.tp, axis=-2, pad_mode="edge")
+        from ..kernels import mxu_fft
+        c_spec = mxu_fft.rfft(c_ext, nfft)     # (..., n_ext+1, K)
+
+        x_ext = exchange_halo(x_blk, hl, hr, self.tp)
+        n_ext = n_local + hl_f + hr_f
+
+        tp_i = jax.lax.axis_index(self.tp)
+        pos = (jnp.arange(T_l + hl + hr) - hl) + tp_i * T_l
+        inside = ((pos >= 0) & (pos < T_l * ntp)).astype(x_blk.dtype)
+
+        lam = jnp.asarray(np.arange(Pd) / Pd, x_blk.dtype)
+        idx = np.arange(n_ext + 1)[:, None] * Pd + np.arange(2 * Pd + M)
+
+        def stage(xin):
+            pad = [(0, 0)] * (xin.ndim - 1) + [(Pd + M, 2 * Pd)]
+            ctx = jnp.pad(xin, pad)[..., idx]
+            U = mxu_fft.irfft(mxu_fft.rfft(ctx, nfft) * c_spec,
+                              nfft)[..., M:M + 2 * Pd]
+            lo = U[..., :-1, Pd:]
+            hi = U[..., 1:, :Pd]
+            y = (lo * (1 - lam) + hi * lam).reshape(*xin.shape)
+            return y * inside
+
+        w = jnp.asarray(self.taylor_weights, x_blk.dtype)
+        y = x_ext * inside
+        xi = y
+        for i in range(1, S + 1):
+            xi = stage(xi) * w[i]
+            y = y + xi
+        y_blk = y[..., hl:hl + T_l]
+
+        k_lo = c0_ext[..., :-1, 0]
+        k_hi = c0_ext[..., 1:, 0]
+        K = jnp.exp(k_lo[..., None] * (1 - lam) + k_hi[..., None] * lam)
+        return y_blk * K.reshape(*x_blk.shape)
+
     def _local_roundtrip(self, x_blk: jnp.ndarray) -> jnp.ndarray:
         mc = self._local_analysis(x_blk)
         e = self._local_mlsa_inv(x_blk, mc)
@@ -156,10 +222,15 @@ class ShardedMelCepstralVocoder:
         xs, ms = self._specs()
         return self._shard(self._local_analysis, (xs,), ms)(x)
 
-    def synthesize(self, e: jnp.ndarray, mc: jnp.ndarray) -> jnp.ndarray:
+    def synthesize(self, e: jnp.ndarray, mc: jnp.ndarray,
+                   halo: str = "per-stage") -> jnp.ndarray:
+        """``halo``: "per-stage" (2S small ppermute pairs) or "bulk"
+        (one big pair + redundant edge compute; see _local_mlsa_bulk)."""
         self._check_t(e.shape[-1])
         xs, ms = self._specs()
-        return self._shard(self._local_mlsa, (xs, ms), xs)(e, mc)
+        fn = (self._local_mlsa_bulk if halo == "bulk"
+              else self._local_mlsa)
+        return self._shard(fn, (xs, ms), xs)(e, mc)
 
     def analysis_synthesis(self, x: jnp.ndarray) -> jnp.ndarray:
         self._check_t(x.shape[-1])

@@ -189,3 +189,37 @@ def test_sharded_poledf_matches_single(mesh_shape):
     y_ref = single(x, a)
     y = jax.jit(sharded)(x, a)
     U.assert_close(np.asarray(y), np.asarray(y_ref), rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_mlsa_bulk_halo_matches_per_stage(mesh_shape):
+    """The bulk-halo MLSA (one exchange for all S stages +
+    shrink-validity recompute) equals the per-stage-halo path and the
+    single-device op (parallel/vocoder.py:_local_mlsa_bulk)."""
+    from jax.sharding import Mesh
+
+    from diffsptk_tpu.models.mcep_vocoder import MelCepstralVocoder
+    from diffsptk_tpu.parallel.vocoder import ShardedMelCepstralVocoder
+
+    rng = np.random.default_rng(9)
+    dp, tp = mesh_shape
+    # block must exceed the bulk halo: S * ceil((P+M)/P) = 12 frames left
+    T = 80 * tp * 16                        # 16 frames per time shard
+    e = jnp.asarray(rng.standard_normal((2, T)))
+    mesh = Mesh(np.array(jax.devices()[:dp * tp]).reshape(dp, tp),
+                ("dp", "tp"))
+    sharded = ShardedMelCepstralVocoder(mesh, taylor_order=4,
+                                        cep_order_mlsa=99)
+    single = MelCepstralVocoder(taylor_order=4, cep_order_mlsa=99)
+    mc = np.asarray(single.analyze(e))      # any realistic mel-cepstra
+    mc = jnp.asarray(mc)
+
+    y_stage = jax.jit(lambda a, b: sharded.synthesize(a, b))(e, mc)
+    y_bulk = jax.jit(
+        lambda a, b: sharded.synthesize(a, b, halo="bulk"))(e, mc)
+    U.assert_close(np.asarray(y_bulk), np.asarray(y_stage), rtol=1e-10,
+                   atol=1e-12 * float(np.abs(np.asarray(y_stage)).max()))
+
+    y_single = single.synthesize(e, mc)
+    U.assert_close(np.asarray(y_bulk), np.asarray(y_single), rtol=1e-8,
+                   atol=1e-10 * float(np.abs(np.asarray(y_single)).max()))

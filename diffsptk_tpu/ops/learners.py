@@ -287,7 +287,13 @@ class GaussianMixtureModeling(BaseLearnerOp):
         return self._m_step(self._accum_stats(params, x),
                             jnp.asarray(x.shape[0], x.dtype))
 
-    def __call__(self, x, return_posterior: bool = False):
+    def __call__(self, x, return_posterior: bool = False,
+                 callback=None):
+        """Fit by EM.  ``callback(iteration=, log_likelihood=, change=,
+        params=)`` runs once per iteration; returning False stops the
+        loop cleanly (checkpoint/metrics hook, utils/metrics.py).  The
+        fit continues from the current parameters, so a preempted run
+        resumes by reloading them (``set_params``) and calling again."""
         chunks = as_chunks(x, self.batch_size)
         T = sum(c.shape[0] for c in chunks)
         if not hasattr(self, "_em_jit"):
@@ -311,6 +317,10 @@ class GaussianMixtureModeling(BaseLearnerOp):
             # ll is evaluated at the pre-update parameters, matching the
             # reference's convergence bookkeeping (gmm.py:376-392).
             params = new_params
+            if callback is not None and callback(
+                    iteration=n, log_likelihood=float(ll) / T,
+                    change=change, params=params) is False:
+                break
             if n and change < self.eps:
                 break
             prev_ll = float(ll)
@@ -400,7 +410,7 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
         self.key, sub = jax.random.split(self.key)
         return jax.random.normal(sub, shape, dtype)
 
-    def __call__(self, x, return_indices: bool = False):
+    def __call__(self, x, return_indices: bool = False, callback=None):
         chunks = as_chunks(x, self.batch_size)
         if chunks[0].ndim != 2:
             raise ValueError("Input vectors must be 2D.")
@@ -450,6 +460,10 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
             for n in range(self.n_iter):
                 K = self.curr_codebook_size
                 _, distance, n_data, centroids = e_step(K)
+                if callback is not None and callback(
+                        iteration=n, codebook_size=K, distance=distance,
+                        params=self.vq.codebook[:K]) is False:
+                    break
                 if n and abs(prev_distance - distance) \
                         / (distance + 1e-16) < self.eps:
                     break
@@ -596,7 +610,7 @@ class IndependentComponentAnalysis(BaseLearnerOp):
         self.W = jax.random.normal(jax.random.PRNGKey(seed),
                                    (n_comp, n_comp), dtype)
 
-    def __call__(self, x):
+    def __call__(self, x, callback=None):
         chunks = as_chunks(x, self.batch_size)
         self.pca(chunks)
 
@@ -625,6 +639,9 @@ class IndependentComponentAnalysis(BaseLearnerOp):
             W = decorrelate(W)
             similarity = jnp.abs(jnp.diagonal(W @ prev_W.T))
             criterion = float(jnp.max(jnp.abs(similarity - 1)))
+            if callback is not None and callback(
+                    iteration=n, criterion=criterion, params=W) is False:
+                break
             if criterion < self.eps:
                 break
 
@@ -672,7 +689,7 @@ class NonnegativeMatrixFactorization(BaseLearnerOp):
         self.U = U
         self.H = jax.random.uniform(k2, (n_comp, order + 1), dtype)
 
-    def __call__(self, x):
+    def __call__(self, x, callback=None):
         chunks = as_chunks(x, self.batch_size)
         if chunks[0].ndim != 2:
             raise ValueError("Input vectors must be 2D.")
@@ -726,6 +743,10 @@ class NonnegativeMatrixFactorization(BaseLearnerOp):
                     div = div + jnp.sum(r1 - r2)
                 t1 = t2
             div = float(div)
+            if callback is not None and callback(
+                    iteration=n, divergence=div,
+                    params=(self.U, self.H)) is False:
+                break
             if n and abs(prev_div - div) / (div + 1e-16) < self.eps:
                 break
             prev_div = div

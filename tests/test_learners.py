@@ -200,3 +200,69 @@ def test_nmf(beta):
     recon = np.asarray(Uf) @ np.asarray(Hf)
     rel = np.linalg.norm(recon - x) / np.linalg.norm(x)
     assert rel < 0.05, rel
+
+
+def test_gmm_interrupt_resume(tmp_path):
+    """A fit interrupted by its callback resumes exactly: checkpoint the
+    params mid-run, rebuild, set_params, continue — the EM recursion is
+    Markov in the parameters so the resumed trajectory equals the
+    uninterrupted one (SURVEY §5.3 restartable learner loops)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.concatenate([rng.normal(-2, 0.5, (80, 3)),
+                                    rng.normal(+2, 0.8, (80, 3))]))
+
+    full = diffsptk_tpu.GMM(2, 2, n_iter=10, eps=0, seed=5)
+    (w_ref, mu_ref, s_ref), _ = full(x)
+
+    from diffsptk_tpu.utils.checkpoint import load, save
+
+    part = diffsptk_tpu.GMM(2, 2, n_iter=10, eps=0, seed=5)
+    path = str(tmp_path / "gmm_ckpt.npz")
+
+    def stop_after_4(iteration, params, **kv):
+        if iteration == 3:                  # 4 iterations ran (0..3)
+            save(path, {"w": params[0], "mu": params[1],
+                        "sigma": params[2]})
+            return False
+        return True
+
+    part(x, callback=stop_after_4)
+
+    resumed = diffsptk_tpu.GMM(2, 2, n_iter=6, eps=0, seed=99)
+    ckpt = load(path, {"w": resumed.w, "mu": resumed.mu,
+                       "sigma": resumed.sigma})
+    resumed.set_params((ckpt["w"], ckpt["mu"], ckpt["sigma"]))
+    (w, mu, s), _ = resumed(x)
+
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=1e-9)
+
+
+def test_learner_metrics_logger(tmp_path):
+    """The JSONL metrics callback records one scalar event per
+    iteration for every learner that loops (SURVEY §5.5)."""
+    import json
+
+    from diffsptk_tpu.utils.metrics import JsonlMetricsLogger
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(np.abs(rng.normal(1, 0.2, (32, 4))) + 0.1)
+    path = str(tmp_path / "metrics.jsonl")
+    log = JsonlMetricsLogger(path)
+
+    diffsptk_tpu.GMM(3, 2, n_iter=3, eps=0, seed=0)(
+        x, callback=log.as_callback())
+    diffsptk_tpu.NMF(32, 3, 2, n_iter=3)(
+        x, callback=log.as_callback())
+    diffsptk_tpu.LBG(3, 2, n_iter=3)(x, callback=log.as_callback())
+    log.close()
+
+    events = [json.loads(l) for l in open(path)]
+    assert len(events) >= 9
+    assert all("t" in e and "iteration" in e for e in events)
+    assert any("log_likelihood" in e for e in events)
+    assert any("distance" in e for e in events)

@@ -89,6 +89,8 @@ def main() -> None:
         print(f"#   cascade={cascade}: {xb.size / dt / 1e6:.2f} Msamples/s")
         if best is None or dt < best[0]:
             best = (dt, cascade, y)
+    if best is None:
+        raise RuntimeError("mcep chain failed in both cascade modes")
     dt, cascade, y = best
     rows.append((f"3. STFT->mcep->MLSA round trip [{cascade}]",
                  xb.size / dt, snr_db(xb[..., :y.shape[-1]], y)))

@@ -163,6 +163,10 @@ def vqt_filter_fft(sr: float, freqs: np.ndarray, filter_scale: float,
     wav = np.pad(wav, ((0, 0), (pad // 2, pad - pad // 2)))
     fft_basis = np.fft.fft(wav, n=force_n_fft, axis=1)
     fft_basis = fft_basis[:, : force_n_fft // 2 + 1]
+    # the consumer's inner product runs at force_n_fft, so the stored
+    # normalization must be lengths / force_n_fft, not the natural-length
+    # lengths / n_fft baked in above
+    fft_basis *= n_fft / force_n_fft
     return fft_basis, force_n_fft, lengths
 
 

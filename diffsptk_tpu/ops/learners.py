@@ -445,7 +445,8 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
             return idx_chunks, float(sq) / T, n_data, csum
 
         distance = np.inf
-        while True:
+        stopped = False
+        while not stopped:
             next_size = self.curr_codebook_size * 2
             if next_size <= self.codebook_size:
                 cb = self.vq.codebook[: self.curr_codebook_size]
@@ -463,7 +464,8 @@ class LindeBuzoGrayAlgorithm(BaseLearnerOp):
                 if callback is not None and callback(
                         iteration=n, codebook_size=K, distance=distance,
                         params=self.vq.codebook[:K]) is False:
-                    break
+                    stopped = True      # cooperative stop: no further
+                    break               # splits either
                 if n and abs(prev_distance - distance) \
                         / (distance + 1e-16) < self.eps:
                     break

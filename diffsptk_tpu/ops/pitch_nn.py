@@ -32,8 +32,25 @@ import numpy as np
 
 from ..core import to_device_array
 from ..utils.resample import Resampler
-from .frame import Frame
 from .stft import ShortTimeFourierTransform
+
+
+def hop_frames(x, window, hop, mode="constant", zmean=False):
+    """Centered frames at every hop multiple in [0, T]: T // hop + 1
+    frames (torchcrepe/penn hop convention — one more than
+    Frame(center=True) when hop divides T; keeps every Pitch algorithm
+    on the same frame count, see ops/pitch.py:_yin_frames)."""
+    T = x.shape[-1]
+    n = T // hop + 1
+    left = window // 2
+    right = max((n - 1) * hop + window - left - T, 0)
+    cfg = [(0, 0)] * (x.ndim - 1) + [(left, right)]
+    xp = jnp.pad(x, cfg, mode=mode)
+    idx = np.arange(n)[:, None] * hop + np.arange(window)[None, :]
+    y = xp[..., idx]
+    if zmean:
+        y = y - jnp.mean(y, axis=-1, keepdims=True)
+    return y
 
 logger = logging.getLogger("diffsptk_tpu")
 
@@ -299,7 +316,7 @@ class PitchExtractionByCREPE:
         self.filter_length = filter_length
 
         hop = frame_period * CREPE_SAMPLE_RATE // sample_rate
-        self.frame = Frame(CREPE_WINDOW_SIZE, hop, zmean=True)
+        self.hop = hop
         self.stft = ShortTimeFourierTransform(
             CREPE_WINDOW_SIZE, hop, CREPE_WINDOW_SIZE, norm="none",
             window="hanning", out_format="db")
@@ -327,7 +344,7 @@ class PitchExtractionByCREPE:
             raise ValueError(
                 f"Input length must be greater than "
                 f"{CREPE_WINDOW_SIZE // 2} at {CREPE_SAMPLE_RATE} Hz.")
-        frames = self.frame(x)
+        frames = hop_frames(x, CREPE_WINDOW_SIZE, self.hop, zmean=True)
         frames = frames / jnp.maximum(
             jnp.std(frames, axis=-1, keepdims=True), 1e-10)
         B = frames.shape[:-1]
@@ -355,7 +372,11 @@ class PitchExtractionByCREPE:
         periodicity = median_filter(periodicity, self.filter_length)
         pitch = mean_filter(pitch, self.filter_length)
 
-        loudness = self.stft(x) + self.perceptual_weights
+        # loudness frames follow the same hop convention as the net
+        # frames (torchcrepe pads both identically), so no trim occurs
+        loud_frames = hop_frames(x, CREPE_WINDOW_SIZE, self.hop)
+        loudness = (self.stft.spec(self.stft.window(loud_frames))
+                    + self.perceptual_weights)
         loudness = jnp.clip(loudness, min=LOUDNESS_MIN_DB).mean(-1)
         n = min(pitch.shape[-1], loudness.shape[-1])
         mask = ((periodicity[..., :n] < self.voicing_threshold)
@@ -452,7 +473,7 @@ class PitchExtractionByFCNF0:
         self.voicing_threshold = voicing_threshold
 
         hop = frame_period * PENN_SAMPLE_RATE // sample_rate
-        self.frame = Frame(PENN_WINDOW_SIZE, hop, mode="reflect")
+        self.hop = hop
         self.resample = Resampler(sample_rate, PENN_SAMPLE_RATE)
         self.params = load_params(weights, init_fcnf0_params,
                                   expect=init_fcnf0_params(),
@@ -469,7 +490,7 @@ class PitchExtractionByFCNF0:
             raise ValueError(
                 f"Input length must be greater than "
                 f"{PENN_WINDOW_SIZE // 2} at {PENN_SAMPLE_RATE} Hz.")
-        frames = self.frame(x)
+        frames = hop_frames(x, PENN_WINDOW_SIZE, self.hop, mode="reflect")
         B = frames.shape[:-1]
         # float32 inference, as the reference does (pitch.py:375).
         logits = fcnf0_forward(self.params,

@@ -110,3 +110,20 @@ def test_cqt_icqt_roundtrip():
     y = np.asarray(icqt(C, out_length=len(x)))
     r = np.corrcoef(y, x)[0, 1]
     assert r > 0.98, r
+
+
+def test_cqt_forced_fft_plan_parity():
+    """Octaves padded into the shared FFT plan must keep the reference's
+    normalization: frame_period=96 forces padding for the upper octaves
+    (regression: the padded basis was rescaled by force/natural ~ 2x)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096)
+    ours = np.abs(np.asarray(
+        diffsptk_tpu.CQT(96, 16000, n_bin=84)(U.to_jax(x))))
+    with torch.no_grad():
+        ref = reference.CQT(96, 16000, n_bin=84)(U.to_torch(x)) \
+            .abs().numpy()
+    ratio = ours.mean(axis=0) / np.maximum(ref.mean(axis=0), 1e-12)
+    per_octave = np.array([ratio[i * 12:(i + 1) * 12].mean()
+                           for i in range(7)])
+    np.testing.assert_allclose(per_octave, 1.0, atol=0.02)

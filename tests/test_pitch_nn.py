@@ -37,7 +37,8 @@ def audio(data_wav):
     ("fcnf0", {}),
 ])
 def test_pipeline_shapes(algo, kwargs, audio):
-    n = len(audio) // 80
+    # reference hop convention: one frame at every period multiple
+    n = len(audio) // 80 + 1
     pitch = diffsptk_tpu.Pitch(80, SR, algorithm=algo, out_format="f0",
                                **kwargs)
     f0 = np.asarray(pitch(jnp.asarray(audio)))
@@ -56,12 +57,12 @@ def test_pipeline_shapes(algo, kwargs, audio):
 def test_prob_embed_formats(audio):
     x = jnp.asarray(audio[:4000])
     pr = diffsptk_tpu.Pitch(80, SR, algorithm="crepe", out_format="prob")(x)
-    assert pr.shape == (50, 360)
+    assert pr.shape == (51, 360)
     assert float(pr.min()) >= 0 and float(pr.max()) <= 1
     em = diffsptk_tpu.Pitch(80, SR, algorithm="crepe", out_format="embed")(x)
-    assert em.shape == (50, 2048)
+    assert em.shape == (51, 2048)
     pf = diffsptk_tpu.Pitch(80, SR, algorithm="fcnf0", out_format="prob")(x)
-    assert pf.shape == (50, 1440)
+    assert pf.shape == (51, 1440)
     np.testing.assert_allclose(np.asarray(pf.sum(-1)), 1.0, rtol=1e-4)
 
 

@@ -8,7 +8,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from diffsptk_tpu.kernels import mxu_fft
 from diffsptk_tpu.kernels.pallas_mlsa import (
     _cascade_pallas,
     _cascade_xla,

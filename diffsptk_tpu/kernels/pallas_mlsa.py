@@ -39,23 +39,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
 @functools.lru_cache(maxsize=None)
 def _dft_plan(nfft: int, m: int, p: int):
-    """Forward DFT (nfft, K) and inverse slice (K, 2P) matrices."""
+    """Forward DFT (nfft, Kp) and inverse slice (Kp, Qp) matrices.
+
+    The spectral axis K = nfft//2+1 and the blend slice 2P are
+    zero-padded to 128-multiples (Kp, Qp) so the Pallas TPU lowering's
+    lane-tiling constraint holds; the padded rows/columns are zero, so
+    they contribute nothing to the matmuls.
+    """
     K = nfft // 2 + 1
+    Kp, Qp = _pad128(K), _pad128(2 * p)
     t = np.arange(nfft)
     k = np.arange(K)
     ang = 2.0 * np.pi * np.outer(t, k) / nfft
-    F_re = np.cos(ang).astype(np.float32)
-    F_im = (-np.sin(ang)).astype(np.float32)
+    F_re = np.zeros((nfft, Kp), np.float32)
+    F_im = np.zeros((nfft, Kp), np.float32)
+    F_re[:, :K] = np.cos(ang)
+    F_im[:, :K] = -np.sin(ang)
     # irfft(Y)[m + tau], tau in [0, 2P):  (1/nfft) sum_k w_k *
     #   (Yre cos(2 pi k (m+tau) / nfft) - Yim sin(...)),  w = [1,2,..,2,1]
     w = np.full(K, 2.0)
     w[0] = w[-1] = 1.0
     tau = m + np.arange(2 * p)
     ang2 = 2.0 * np.pi * np.outer(k, tau) / nfft
-    G_re = (w[:, None] * np.cos(ang2) / nfft).astype(np.float32)
-    G_im = (-w[:, None] * np.sin(ang2) / nfft).astype(np.float32)
+    G_re = np.zeros((Kp, Qp), np.float32)
+    G_im = np.zeros((Kp, Qp), np.float32)
+    G_re[:K, :2 * p] = w[:, None] * np.cos(ang2) / nfft
+    G_im[:K, :2 * p] = -w[:, None] * np.sin(ang2) / nfft
     return F_re, F_im, G_re, G_im
 
 
@@ -69,22 +84,20 @@ def _cascade_kernel(wa_ref, x_ref, cre_ref, cim_ref, fre_ref, fim_ref,
     n_blk = (nfft + P - 1) // P         # shifted slices per context row
 
     xp_ref[:] = jnp.zeros_like(xp_ref)
-    xp_ref[pl.ds(PADL, T)] = x_ref[0]
+    xp_ref[pl.ds(PADL, T)] = x_ref[0, 0]
     out_ref[:] = wa_ref[1, 0] * x_ref[:]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n_blk * P), 1)
     ctx_mask = (col < L).astype(jnp.float32)
-    lam = (jax.lax.broadcasted_iota(jnp.float32, (N, P), 1)
-           * (1.0 / P))
+    lam = (jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
+           .astype(jnp.float32) * (1.0 / P))
 
     cre = cre_ref[0]
     cim = cim_ref[0]
 
     def stage(s, _):
         xq = xp_ref[:].reshape(Nb, P)
-        parts = [jax.lax.dynamic_slice(xq, (0, 0), (N, P))]
-        for i in range(1, n_blk):
-            parts.append(jax.lax.dynamic_slice(xq, (i, 0), (N, P)))
+        parts = [xq[i:i + N, :] for i in range(n_blk)]
         ctx = jnp.concatenate(parts, axis=1) * ctx_mask   # (N, n_blk*P)
         ctx = ctx[:, :nfft]
 
@@ -98,14 +111,13 @@ def _cascade_kernel(wa_ref, x_ref, cre_ref, cim_ref, fre_ref, fim_ref,
              + jnp.dot(Yim, gim_ref[:],
                        preferred_element_type=jnp.float32))   # (N, 2P)
 
-        lo = U[:, P:]
-        hi_head = jax.lax.dynamic_slice(U, (1, 0), (N - 1, P)) \
-            if N > 1 else U[:0, :P]
-        hi = jnp.concatenate([hi_head, U[N - 1:, P:]], axis=0)
+        lo = U[:, P:2 * P]
+        hi_head = U[1:N, :P] if N > 1 else U[:0, :P]
+        hi = jnp.concatenate([hi_head, U[N - 1:, P:2 * P]], axis=0)
         w_s = wa_ref[0, s]
         xnew = (lo * (1.0 - lam) + hi * lam) * w_s          # (N, P)
 
-        out_ref[:] = out_ref[:] + wa_ref[1, s] * xnew.reshape(1, T)
+        out_ref[:] = out_ref[:] + wa_ref[1, s] * xnew.reshape(1, 1, T)
         xp_ref[pl.ds(PADL, T)] = xnew.reshape(T)
         return 0
 
@@ -118,10 +130,20 @@ def _cascade_pallas(x, cspec, weights, a, P, M, advance, nfft,
     B, T = x.shape
     N = T // P
     K = nfft // 2 + 1
+    Kp, Qp = _pad128(K), _pad128(2 * P)
     S = weights.shape[0] - 1
     F_re, F_im, G_re, G_im = _dft_plan(nfft, M, P)
     Nb = (T + P + M + P - 1) // P + ((nfft + P - 1) // P)
+    # Round the scratch row count to a sublane multiple so the flat
+    # (Nb*P,) VMEM buffer is lane-aligned (P*8 is always a 128-multiple
+    # for even P; odd P never reaches the TPU path — nfft is pow2).
+    Nb = ((Nb + 7) // 8) * 8
     wa = jnp.stack([weights, a]).astype(jnp.float32)
+    cre = jnp.real(cspec).astype(jnp.float32)
+    cim = jnp.imag(cspec).astype(jnp.float32)
+    pad = [(0, 0), (0, 0), (0, Kp - K)]
+    cre = jnp.pad(cre, pad)
+    cim = jnp.pad(cim, pad)
 
     kernel = functools.partial(
         _cascade_kernel, n_frames=N, P=P, M=M, advance=advance,
@@ -131,20 +153,20 @@ def _cascade_pallas(x, cspec, weights, a, P, M, advance, nfft,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # wa
-            pl.BlockSpec((1, T), lambda b: (b, 0)),         # x
-            pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),   # cspec re
-            pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),   # cspec im
-            pl.BlockSpec((nfft, K), lambda b: (0, 0)),      # F_re
-            pl.BlockSpec((nfft, K), lambda b: (0, 0)),      # F_im
-            pl.BlockSpec((K, 2 * P), lambda b: (0, 0)),     # G_re
-            pl.BlockSpec((K, 2 * P), lambda b: (0, 0)),     # G_im
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0)),   # x
+            pl.BlockSpec((1, N, Kp), lambda b: (b, 0, 0)),  # cspec re
+            pl.BlockSpec((1, N, Kp), lambda b: (b, 0, 0)),  # cspec im
+            pl.BlockSpec((nfft, Kp), lambda b: (0, 0)),     # F_re
+            pl.BlockSpec((nfft, Kp), lambda b: (0, 0)),     # F_im
+            pl.BlockSpec((Kp, Qp), lambda b: (0, 0)),       # G_re
+            pl.BlockSpec((Kp, Qp), lambda b: (0, 0)),       # G_im
         ],
-        out_specs=pl.BlockSpec((1, T), lambda b: (b, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, T), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, T), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Nb * P,), jnp.float32)],
         interpret=interpret,
-    )(wa, x, jnp.real(cspec).astype(jnp.float32),
-      jnp.imag(cspec).astype(jnp.float32), F_re, F_im, G_re, G_im)
+    )(wa, x[:, None, :], cre, cim, F_re, F_im, G_re,
+      G_im).reshape(B, T)
 
 
 def _cascade_xla(x, c, weights, a, P, advance, nfft):

@@ -54,8 +54,13 @@ def test_inverse_slice_matrix_matches_irfft():
     Y = (RNG.standard_normal((5, K))
          + 1j * RNG.standard_normal((5, K))).astype(np.complex64)
     want = np.fft.irfft(Y, n=nfft)[:, M:M + 2 * P]
-    got = np.real(Y) @ G_re + np.imag(Y) @ G_im
+    # The plan matrices are zero-padded to 128-multiple (Kp, Qp) for
+    # the TPU lane-tiling constraint; the live block is [:K, :2P].
+    Yp = np.zeros((5, G_re.shape[0]), np.complex64)
+    Yp[:, :K] = Y
+    got = (np.real(Yp) @ G_re + np.imag(Yp) @ G_im)[:, :2 * P]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert G_re.shape[0] % 128 == 0 and G_re.shape[1] % 128 == 0
 
 
 def test_mlsa_fused_wiring():

@@ -79,15 +79,21 @@ def _cascade_kernel(wa_ref, x_ref, cre_ref, cim_ref, fre_ref, fim_ref,
                     advance, n_stages, nfft):
     N, L = n_frames, 2 * P + M
     T = N * P
+    # Store the signal at a 128- and P-aligned left offset LP (so every
+    # VMEM store below is lane-aligned); the context gather compensates
+    # with a static lane shift of LP - (P + M - advance).
     PADL = P + M - advance
+    lcm = int(P * 128 // np.gcd(P, 128))
+    LP = int(((PADL + lcm - 1) // lcm) * lcm)
+    shift = LP - PADL
     Nb = xp_ref.shape[0] // P           # padded row count
-    n_blk = (nfft + P - 1) // P         # shifted slices per context row
+    n_blk = (shift + nfft + P - 1) // P  # shifted slices per context row
 
     xp_ref[:] = jnp.zeros_like(xp_ref)
-    xp_ref[pl.ds(PADL, T)] = x_ref[0, 0]
+    xp_ref[pl.ds(LP, T)] = x_ref[0, 0]
     out_ref[:] = wa_ref[1, 0] * x_ref[:]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_blk * P), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nfft), 1)
     ctx_mask = (col < L).astype(jnp.float32)
     lam = (jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
            .astype(jnp.float32) * (1.0 / P))
@@ -98,8 +104,8 @@ def _cascade_kernel(wa_ref, x_ref, cre_ref, cim_ref, fre_ref, fim_ref,
     def stage(s, _):
         xq = xp_ref[:].reshape(Nb, P)
         parts = [xq[i:i + N, :] for i in range(n_blk)]
-        ctx = jnp.concatenate(parts, axis=1) * ctx_mask   # (N, n_blk*P)
-        ctx = ctx[:, :nfft]
+        ctx = jnp.concatenate(parts, axis=1)              # (N, n_blk*P)
+        ctx = ctx[:, shift:shift + nfft] * ctx_mask
 
         Xre = jnp.dot(ctx, fre_ref[:],
                       preferred_element_type=jnp.float32)
@@ -118,7 +124,7 @@ def _cascade_kernel(wa_ref, x_ref, cre_ref, cim_ref, fre_ref, fim_ref,
         xnew = (lo * (1.0 - lam) + hi * lam) * w_s          # (N, P)
 
         out_ref[:] = out_ref[:] + wa_ref[1, s] * xnew.reshape(1, 1, T)
-        xp_ref[pl.ds(PADL, T)] = xnew.reshape(T)
+        xp_ref[pl.ds(LP, T)] = xnew.reshape(T)
         return 0
 
     jax.lax.fori_loop(1, n_stages + 1, stage, 0)
@@ -133,10 +139,16 @@ def _cascade_pallas(x, cspec, weights, a, P, M, advance, nfft,
     Kp, Qp = _pad128(K), _pad128(2 * P)
     S = weights.shape[0] - 1
     F_re, F_im, G_re, G_im = _dft_plan(nfft, M, P)
-    Nb = (T + P + M + P - 1) // P + ((nfft + P - 1) // P)
-    # Round the scratch row count to a sublane multiple so the flat
-    # (Nb*P,) VMEM buffer is lane-aligned (P*8 is always a 128-multiple
-    # for even P; odd P never reaches the TPU path — nfft is pow2).
+    # Scratch rows: the signal lives at a 128/P-aligned left offset LP
+    # (mirrors the kernel's computation) and the gather reads up to
+    # n_blk extra rows past the last frame.
+    PADL = P + M - advance
+    lcm = int(P * 128 // np.gcd(P, 128))
+    LP = int(((PADL + lcm - 1) // lcm) * lcm)
+    n_blk = ((LP - PADL) + nfft + P - 1) // P
+    Nb = LP // P + N + n_blk
+    # Round to a sublane multiple so the flat (Nb*P,) VMEM buffer is
+    # lane-aligned (P*8 is a 128-multiple for the even P of this path).
     Nb = ((Nb + 7) // 8) * 8
     wa = jnp.stack([weights, a]).astype(jnp.float32)
     cre = jnp.real(cspec).astype(jnp.float32)

@@ -41,7 +41,20 @@ def _timeit(fn, *args, warmup=3, iters=20):
 
 
 def main() -> None:
+    import os
+
     import diffsptk_tpu as dsp
+
+    # Persistent compile cache: repeat bench runs skip the ~minutes of
+    # XLA compilation for the unchanged flagship graphs.
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jaxcache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     x, sr = _load_audio()
     # Batch the 1.2 s clip to fill the chip (B=32 is the measured
@@ -72,11 +85,11 @@ def main() -> None:
 def _bench_mcep_chain(dsp, xb):
     """STFT -> mcep -> MLSA round trip (BASELINE config #3).
 
-    Measures both MLSA cascade implementations (stage-by-stage XLA vs
-    the fused VMEM-resident Pallas kernel) and reports the faster."""
+    Measures the MLSA cascade implementations (folded-plan matmul,
+    stage-by-stage XLA, fused Pallas) and reports the fastest."""
     from diffsptk_tpu.models.mcep_vocoder import MelCepstralVocoder
     best = None
-    for cascade in ("stages", "fused"):
+    for cascade in ("folded", "stages", "fused"):
         voc = MelCepstralVocoder(frame_length=400, frame_period=80,
                                  fft_length=512, cep_order=24, alpha=0.42,
                                  n_iter=10, cascade=cascade)

@@ -1,0 +1,149 @@
+"""Folded-plan MLSA Taylor cascade (XLA matmul formulation).
+
+The multi-stage MLSA filter (reference: diffsptk/modules/mglsadf.py:254-386)
+runs S sequential stages of the same frame-blocked FFT FIR
+(ops/zerodf.py:zerodf_fft).  The generic stage materializes overlapping
+(N, nfft) frame contexts, runs full-length forward/inverse transforms,
+and lerp-blends adjacent frames — several HBM round trips of
+nfft-wide intermediates per stage.
+
+This module *folds the framing, the transform, and the blend into
+static matmul plans* so each stage becomes a handful of MXU matmuls over
+the (N, P) frame grid with no context materialization:
+
+* forward: the overlapping-frame gather composed with the length-L real
+  DFT is, per frame row n, ``X[n] = sum_r xq[n + r - r0] @ F_r`` where
+  ``F_r`` is the (P, K) slice of the DFT matrix that multiplies the
+  samples row ``n + r - r0`` contributes to frame n's context.  The
+  gather disappears into ``n_blk`` shifted (N, P) @ (P, 2K) matmuls.
+* inverse + blend: the output slots consumed by the lerp blend are a
+  (K, P) slice of the inverse DFT, and the blend weight lambda(tau)
+  depends only on the output column, so it folds into the plan:
+  ``lo*(1-lam)``, ``hi*lam``, and the last-row edge each become
+  pre-scaled (K, P) plan blocks evaluated by one (N, K) @ (K, 3P)
+  matmul pair.
+
+Per stage that leaves: n_blk + 2 matmuls, one complex multiply against
+the shared per-frame coefficient spectrum, and one row-shifted add —
+all static slices, so the same formulation lowers cleanly to a Pallas
+VMEM-resident kernel (pallas_mlsa2.py) and to every XLA backend here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+from jax.lax import Precision
+
+
+@functools.lru_cache(maxsize=None)
+def cascade_plan(nfft: int, m: int, p: int, advance: int):
+    """Static plan matrices for one folded MLSA stage.
+
+    Returns (Ffwd, Ginv_re, Ginv_im, r0, n_blk):
+      Ffwd    (n_blk, P, 2K)  forward DFT with framing folded in;
+                              columns [0:K] real part, [K:2K] -imag.
+      Ginv_re (K, 3P)         inverse DFT evaluated at the blend slots,
+      Ginv_im (K, 3P)         blend weights folded in: columns
+                              [0:P] lo*(1-lam), [P:2P] hi*lam,
+                              [2P:3P] lo*lam (last-row edge).
+    """
+    P, M, z = p, m, advance
+    L = 2 * P + M
+    K = nfft // 2 + 1
+    PADL = P + M - z
+    r0 = -(-PADL // P)
+    shift = r0 * P - PADL
+    n_blk = -(-(shift + L) // P)
+
+    k = np.arange(K)
+    ln = np.arange(n_blk * P) - shift             # ctx position of each
+    ang = 2.0 * np.pi * np.outer(ln, k) / nfft    # (n_blk*P, K)
+    valid = ((0 <= ln) & (ln < L))[:, None]
+    Ffwd = np.concatenate(
+        [np.where(valid, np.cos(ang), 0.0),
+         np.where(valid, -np.sin(ang), 0.0)], axis=1)   # (n_blk*P, 2K)
+    Ffwd = Ffwd.reshape(n_blk, P, 2 * K)
+
+    w = np.full(K, 2.0)
+    w[0] = 1.0
+    if nfft % 2 == 0:
+        w[-1] = 1.0
+    lam = np.arange(P) / P
+    s_lo = M + P + np.arange(P)
+    s_hi = M + np.arange(P)
+
+    def inv_block(slots, scale):
+        a = 2.0 * np.pi * np.outer(k, slots) / nfft      # (K, P)
+        gre = (w[:, None] * np.cos(a) / nfft) * scale
+        gim = (-w[:, None] * np.sin(a) / nfft) * scale
+        return gre, gim
+
+    lo_re, lo_im = inv_block(s_lo, 1.0 - lam)
+    hi_re, hi_im = inv_block(s_hi, lam)
+    la_re, la_im = inv_block(s_lo, lam)
+    Ginv_re = np.concatenate([lo_re, hi_re, la_re], axis=1)   # (K, 3P)
+    Ginv_im = np.concatenate([lo_im, hi_im, la_im], axis=1)
+    # Plans stay float64 on the host; the call site casts to the compute
+    # dtype, so float64 runs (CPU tests) keep full-precision constants.
+    return Ffwd, Ginv_re, Ginv_im, r0, n_blk
+
+
+def _stage(xq, cre, cim, Ffwd, Ginv_re, Ginv_im, r0, n_blk, P, K,
+           precision):
+    """One folded MLSA stage on the (..., N, P) frame grid."""
+    N = xq.shape[-2]
+    pad = [(0, 0)] * (xq.ndim - 2) + [(r0, n_blk - 1 - r0), (0, 0)]
+    xpad = jnp.pad(xq, pad)
+    X = None
+    for r in range(n_blk):
+        part = jnp.matmul(xpad[..., r:r + N, :], Ffwd[r],
+                          precision=precision)
+        X = part if X is None else X + part               # (..., N, 2K)
+    Xre, Xim = X[..., :K], X[..., K:]
+    Yre = Xre * cre - Xim * cim
+    Yim = Xre * cim + Xim * cre
+    V = (jnp.matmul(Yre, Ginv_re, precision=precision)
+         + jnp.matmul(Yim, Ginv_im, precision=precision))  # (..., N, 3P)
+    hi = jnp.concatenate(
+        [V[..., 1:, P:2 * P], V[..., N - 1:, 2 * P:]], axis=-2)
+    return V[..., :P] + hi
+
+
+def taylor_cascade_folded(x: jnp.ndarray, c: jnp.ndarray,
+                          weights: jnp.ndarray, a: jnp.ndarray,
+                          P: int, advance: int, nfft: int,
+                          precision=Precision.HIGH) -> jnp.ndarray:
+    """Taylor-cascade MLSA filter, folded-plan formulation.
+
+    Bit-equivalent math to the stage-by-stage ``zerodf_fft`` loop in
+    ops/mglsadf.py (same DFT, same lerp blend, same edge handling), with
+    the framing/transform/blend folded into static plans.
+
+    x (..., T) float; c (..., N, M+1) stage coefficients (shared across
+    stages); weights/a (S+1,) Taylor stage weights.
+    """
+    from . import mxu_fft
+
+    M = c.shape[-1] - 1
+    K = nfft // 2 + 1
+    T = x.shape[-1]
+    N = c.shape[-2]
+    Ffwd, Ginv_re, Ginv_im, r0, n_blk = cascade_plan(nfft, M, P, advance)
+    Ffwd = jnp.asarray(Ffwd, x.dtype)
+    Ginv_re = jnp.asarray(Ginv_re, x.dtype)
+    Ginv_im = jnp.asarray(Ginv_im, x.dtype)
+
+    cspec = mxu_fft.rfft(c, nfft)
+    cre = jnp.real(cspec).astype(x.dtype)
+    cim = jnp.imag(cspec).astype(x.dtype)
+
+    xq = x.reshape(x.shape[:-1] + (N, P))
+    y = a[0] * xq
+    for s in range(1, a.shape[0]):
+        xq = _stage(xq, cre, cim, Ffwd, Ginv_re, Ginv_im, r0, n_blk,
+                    P, K, precision) * weights[s]
+        y = y + a[s] * xq
+    return y.reshape(x.shape[:-1] + (T,))

@@ -26,7 +26,7 @@ class MelCepstralVocoder:
                  alpha: float = 0.42, n_iter: int = 10,
                  taylor_order: int = 20, cep_order_mlsa: int = 199,
                  mode: str = "multi-stage",
-                 cascade: str = "stages") -> None:
+                 cascade: str = "folded") -> None:
         self.frame_period = frame_period
         self.stft = ShortTimeFourierTransform(
             frame_length, frame_period, fft_length, eps=0,

@@ -73,18 +73,21 @@ class MultiStageFIRFilter:
 
     def __init__(self, filter_order, frame_period, *, alpha=0.0, gamma=0.0,
                  ignore_gain=False, phase="minimum", taylor_order=20,
-                 cep_order=199, n_fft=512, cascade="stages",
+                 cep_order=199, n_fft=512, cascade="folded",
                  learnable=False, dtype=None):
         if taylor_order < 0:
             raise ValueError("taylor_order must be non-negative.")
-        if cascade not in ("stages", "fused"):
-            raise ValueError("cascade must be 'stages' or 'fused'.")
+        if cascade not in ("stages", "folded", "fused"):
+            raise ValueError(
+                "cascade must be 'stages', 'folded', or 'fused'.")
         self.ignore_gain = ignore_gain
         self.phase = phase
         self.frame_period = frame_period
-        # "fused": single VMEM-resident Pallas kernel for the whole
-        # Taylor cascade (kernels/pallas_mlsa.py) on TPU; "stages":
-        # stage-by-stage XLA graph (both are bit-level the same math)
+        # "folded" (default): framing/transform/blend folded into static
+        # matmul plans (kernels/mlsa_cascade.py) — pure XLA, ~4x the
+        # stage-by-stage path on TPU; "stages": stage-by-stage XLA FFT
+        # graph; "fused": VMEM-resident Pallas kernel
+        # (kernels/pallas_mlsa.py).  All three are the same math.
         self.cascade = cascade
 
         if alpha == 0 and gamma == 0:
@@ -157,6 +160,10 @@ class MultiStageFIRFilter:
                 from ..kernels.pallas_mlsa import taylor_cascade
                 y = taylor_cascade(x, c, self.weights, a, P, advance,
                                    nfft)
+            elif self.cascade == "folded":
+                from ..kernels.mlsa_cascade import taylor_cascade_folded
+                y = taylor_cascade_folded(x, c, self.weights, a, P,
+                                          advance, nfft)
             else:
                 from ..kernels import mxu_fft
                 from .zerodf import zerodf_fft

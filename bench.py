@@ -25,19 +25,25 @@ def _load_audio():
     return x, sr
 
 
-def _timeit(fn, *args, warmup=3, iters=20):
-    """Wall-clock per call.  The final sync is a scalar host readback:
-    on the remote-tunnel TPU platform block_until_ready returns before
-    execution completes, so a device->host transfer is the only reliable
-    barrier (its ~30 ms RTT is amortized over the iterations)."""
+def _timeit(fn, *args, warmup=3, iters=(20, 100)):
+    """Wall-clock per call.  The sync is a scalar host readback: on the
+    remote-tunnel TPU platform block_until_ready returns before
+    execution completes, so a device->host transfer is the only
+    reliable barrier.  Its ~30 ms RTT would bias a single-point
+    measurement, so the per-call time is the slope between two
+    iteration counts — the readback offset cancels."""
     for _ in range(warmup):
         float(jnp.sum(fn(*args)))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    float(jnp.sum(out))
-    return (time.perf_counter() - t0) / iters
+    lo, hi = iters
+    ts = {}
+    for n in (lo, hi):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        float(jnp.sum(out))
+        ts[n] = time.perf_counter() - t0
+    return (ts[hi] - ts[lo]) / (hi - lo)
 
 
 def main() -> None:

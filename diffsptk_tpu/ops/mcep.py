@@ -17,6 +17,21 @@ from ..utils.linalg import hankel, spd_solve, symmetric_toeplitz
 from .freqt import FrequencyTransform
 
 
+def _use_newton_kernel(rt: jnp.ndarray) -> bool:
+    """Gate for the unrolled Pallas Toeplitz+Hankel solve: TPU, f32,
+    small order, and a batch large enough to fill the register tiles."""
+    import jax
+
+    n = (rt.shape[-1] + 1) // 2
+    batch = int(np.prod(rt.shape[:-1])) if rt.ndim > 1 else 1
+    try:
+        on_tpu = jax.devices()[0].platform != "cpu"
+    except Exception:
+        on_tpu = False
+    return bool(on_tpu and rt.dtype == jnp.float32 and n <= 33
+                and batch >= 2048)
+
+
 def design_coef_freqt(in_order: int, out_order: int,
                       alpha: float) -> np.ndarray:
     """The residual-correlation warp matrix used inside the Newton step
@@ -139,11 +154,19 @@ class MelCepstralAnalysis(BaseOp):
             r = rt[..., : M + 1]
             ra = r - alpha_vector
 
-            R = symmetric_toeplitz(r)
-            Q = hankel(rt)
-            # Newton Hessian is SPD; the batched masked-Cholesky
-            # solver is ~25x faster than XLA LU for many small systems.
-            gradient = spd_solve(R + Q, ra)
+            if _use_newton_kernel(rt):
+                # TPU: fully-unrolled register-tile Pallas kernel that
+                # forms A[i, j] = rt[|i-j|] + rt[i+j] on the fly — the
+                # (batch, n, n) Hessian never touches HBM.
+                from ..kernels.pallas_newton import newton_solve
+                gradient = newton_solve(rt, ra)
+            else:
+                R = symmetric_toeplitz(r)
+                Q = hankel(rt)
+                # Newton Hessian is SPD; the batched masked-Cholesky
+                # solver is ~25x faster than XLA LU for many small
+                # systems.
+                gradient = spd_solve(R + Q, ra)
             mc = mc + gradient
 
         return mc

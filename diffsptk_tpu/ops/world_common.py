@@ -5,6 +5,8 @@ static shapes: all f0-adaptive windows/smoothers are dense masked gathers).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,6 +104,47 @@ def get_minimum_phase_spectrum(spectrum):
          cepstrum[..., L - 1:L]), axis=-1)
     C = jnp.fft.rfft(cepstrum, n=nfft)
     return jnp.exp(C.real) * jnp.exp(1j * C.imag)
+
+
+@functools.lru_cache(maxsize=None)
+def minimum_phase_plans(nfft: int):
+    """Static plans for the matmul minimum-phase construction.
+
+    The irfft -> causal fold -> rfft round trip of
+    ``get_minimum_phase_spectrum`` is algebraically C = u + i H(u) with
+    u = 0.5 log(spectrum): the real part comes back unchanged and the
+    imaginary part is the discrete Hilbert transform of u — a static
+    (K, K) matrix.  The final inverse transform of the synthesis
+    (irfft(mps * phase) * L followed by fftshift) is likewise a static
+    (K, nfft) matmul pair with the shift and scale folded into the plan
+    columns.  Three matmuls replace three FFTs and all complex
+    arithmetic (diffsptk_tpu redesign of reference
+    third_party/world/common.py:73-85 + world_synth.py:251-295).
+
+    Returns (H, IRe, IIm) float64: angle = u @ H;
+    out[t] = sum_k Re[k] IRe[k,t] + Im[k] IIm[k,t].
+    """
+    K = nfft // 2 + 1
+    t = np.arange(nfft)
+    k = np.arange(K)
+    # cep[t] = (1/nfft) sum_k w_k u[k] cos(2 pi k t / nfft)
+    w = np.full(K, 2.0)
+    w[0] = w[-1] = 1.0
+    cos_kt = np.cos(2.0 * np.pi * np.outer(k, t) / nfft)    # (K, nfft)
+    A = (w[:, None] * cos_kt) / nfft                        # u -> cep
+    # causal fold weights then -sin projection back to K bins
+    fold = np.full(nfft, 0.0)
+    fold[0] = 1.0
+    fold[1:K - 1] = 2.0
+    fold[K - 1] = 1.0
+    sin_tk = -np.sin(2.0 * np.pi * np.outer(t, k) / nfft)   # (nfft, K)
+    H = A @ (fold[:, None] * sin_tk)                        # (K, K)
+    # inverse transform with fftshift and the * nfft scale folded in:
+    # out[t] = sum_k w_k (Re cos(2 pi k (t+H)/nfft) - Im sin(...))
+    sh = t + nfft // 2
+    IRe = w[:, None] * np.cos(2.0 * np.pi * np.outer(k, sh) / nfft)
+    IIm = -w[:, None] * np.sin(2.0 * np.pi * np.outer(k, sh) / nfft)
+    return H, IRe, IIm
 
 
 def frames_matching_f0(x, n_frames, frame_length, frame_period,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import BaseNonFunctionalOp, to_device_array
-from .world_common import TAU, get_minimum_phase_spectrum
+from .world_common import TAU, minimum_phase_plans
 
 
 _PHASE_BITS = 22      # f32 path: TAU = 2^22 int32 units (wraps mod 2^32)
@@ -169,22 +169,35 @@ class WorldSynthesis(BaseNonFunctionalOp):
 
         # GetPeriodicResponse() + GetAperiodicResponse(): both are
         # minimum-phase spectra of a weighted envelope followed by one
-        # inverse transform — stacked into ONE batched cepstrum pass and
-        # ONE batched irfft (the reference runs them as two serial hffts,
-        # world_synth.py:251-295).
+        # inverse transform (the reference runs them as two serial
+        # hffts, world_synth.py:251-295).  Here the whole construction
+        # is three static matmuls (world_common.minimum_phase_plans):
+        # magnitude = exp(u) is free, angle = u @ H (discrete Hilbert),
+        # and the inverse transform carries the fftshift / * L scale in
+        # its plan columns — no FFTs, no complex arithmetic.
         weight_p = 1 - apr
         weight_a = jnp.where(0 < vuv, apr, 1.0)
-        mps = get_minimum_phase_spectrum(
-            jnp.stack((weight_p, weight_a)) * env)
+        Hm, IRe, IIm = minimum_phase_plans(L)
+        dt = env.dtype
+        Hm, IRe, IIm = (jnp.asarray(Hm, dt), jnp.asarray(IRe, dt),
+                        jnp.asarray(IIm, dt))
+        prec = jax.lax.Precision.HIGH
+        u = 0.5 * jnp.log(jnp.stack((weight_p, weight_a)) * env)
+        ang = jnp.matmul(u, Hm, precision=prec)
+        mag = jnp.exp(u)
         coeff = TAU * self.sample_rate / L * time_shift
-        phase = jnp.exp(-1j * self.ramp[:D] * coeff[..., None])
-        # hfft followed by the index mirror is algebraically
-        # irfft(a) * L: h[-t] = L*irfft(conj a)[-t] = L*irfft(a)[t]
-        resp = jnp.fft.fftshift(
-            jnp.fft.irfft(jnp.stack((mps[0] * phase,
-                                     mps[1] * noise_spectrum)), n=L) * L,
-            axes=-1)
-        periodic, aperiodic = resp[0], resp[1]
+        th_p = ang[0] - self.ramp[:D] * coeff[..., None]
+        re_p = mag[0] * jnp.cos(th_p)
+        im_p = mag[0] * jnp.sin(th_p)
+        re_a = mag[1] * jnp.cos(ang[1])
+        im_a = mag[1] * jnp.sin(ang[1])
+        nre = jnp.real(noise_spectrum).astype(dt)
+        nim = jnp.imag(noise_spectrum).astype(dt)
+        re_a, im_a = re_a * nre - im_a * nim, re_a * nim + im_a * nre
+        periodic = (jnp.matmul(re_p, IRe, precision=prec)
+                    + jnp.matmul(im_p, IIm, precision=prec))
+        aperiodic = (jnp.matmul(re_a, IRe, precision=prec)
+                     + jnp.matmul(im_a, IIm, precision=prec))
 
         # RemoveDCComponent()
         dc_component = jnp.sum(periodic[..., H:], axis=-1, keepdims=True)

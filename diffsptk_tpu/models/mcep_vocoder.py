@@ -26,7 +26,8 @@ class MelCepstralVocoder:
                  alpha: float = 0.42, n_iter: int = 10,
                  taylor_order: int = 20, cep_order_mlsa: int = 199,
                  mode: str = "multi-stage",
-                 cascade: str = "folded") -> None:
+                 cascade: str = "folded",
+                 cascade_precision: str | None = None) -> None:
         self.frame_period = frame_period
         self.stft = ShortTimeFourierTransform(
             frame_length, frame_period, fft_length, eps=0,
@@ -40,6 +41,8 @@ class MelCepstralVocoder:
         if mode == "multi-stage":
             kwargs["taylor_order"] = taylor_order
             kwargs["cascade"] = cascade
+            if cascade_precision is not None:
+                kwargs["cascade_precision"] = cascade_precision
         self.mlsa = PseudoMGLSADigitalFilter(cep_order, frame_period,
                                              **kwargs)
         self.imlsa = PseudoInverseMGLSADigitalFilter(cep_order, frame_period,

@@ -74,7 +74,7 @@ class MultiStageFIRFilter:
     def __init__(self, filter_order, frame_period, *, alpha=0.0, gamma=0.0,
                  ignore_gain=False, phase="minimum", taylor_order=20,
                  cep_order=199, n_fft=512, cascade="folded",
-                 learnable=False, dtype=None):
+                 cascade_precision=None, learnable=False, dtype=None):
         if taylor_order < 0:
             raise ValueError("taylor_order must be non-negative.")
         if cascade not in ("stages", "folded", "fused"):
@@ -88,7 +88,12 @@ class MultiStageFIRFilter:
         # stage-by-stage path on TPU; "stages": stage-by-stage XLA FFT
         # graph; "fused": VMEM-resident Pallas kernel
         # (kernels/pallas_mlsa.py).  All three are the same math.
+        # cascade_precision overrides the dot precision of the folded /
+        # fused paths ("DEFAULT" trades ~1e-3 relative error for ~2-4x
+        # on a single synthesis pass; keep the default for
+        # inverse->forward round trips, which re-amplify the error).
         self.cascade = cascade
+        self.cascade_precision = cascade_precision
 
         if alpha == 0 and gamma == 0:
             cep_order = filter_order
@@ -158,12 +163,19 @@ class MultiStageFIRFilter:
             advance = self.zerodf.padding[1]
             if self.cascade == "fused":
                 from ..kernels.pallas_mlsa import taylor_cascade
+                kw = ({"precision": self.cascade_precision}
+                      if self.cascade_precision else {})
                 y = taylor_cascade(x, c, self.weights, a, P, advance,
-                                   nfft)
+                                   nfft, **kw)
             elif self.cascade == "folded":
+                import jax as _jax
+
                 from ..kernels.mlsa_cascade import taylor_cascade_folded
+                kw = ({"precision": getattr(_jax.lax.Precision,
+                                            self.cascade_precision)}
+                      if self.cascade_precision else {})
                 y = taylor_cascade_folded(x, c, self.weights, a, P,
-                                          advance, nfft)
+                                          advance, nfft, **kw)
             else:
                 from ..kernels import mxu_fft
                 from .zerodf import zerodf_fft

@@ -1,26 +1,28 @@
-"""Fused Taylor-cascade kernel vs the stage-by-stage XLA formulation
-(kernels/pallas_mlsa.py; interpreter mode — the real-TPU path is covered
-by the smoke matrix/bench)."""
+"""Fused (VMEM-resident) Taylor-cascade kernel vs the folded-plan XLA
+formulation (kernels/pallas_mlsa.py; interpreter mode — the real-TPU
+path is covered by the bench A/B)."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from diffsptk_tpu.kernels import mxu_fft
+from diffsptk_tpu.kernels.mlsa_cascade import taylor_cascade_folded
 from diffsptk_tpu.kernels.pallas_mlsa import (
     _cascade_pallas,
-    _cascade_xla,
-    _dft_plan,
+    _pad128,
+    taylor_cascade,
 )
 
 RNG = np.random.default_rng(21)
 
 
-def _case(B, N, P, M, S, advance, nfft):
+def _case(B, N, P, M, S):
     T = N * P
     x = RNG.standard_normal((B, T)).astype(np.float32)
-    # decaying cepstrum-like coefficients, slowly varying over frames
     base = RNG.standard_normal((B, 1, M + 1)) * (0.8 ** np.arange(M + 1))
     wob = 1 + 0.05 * RNG.standard_normal((B, N, M + 1))
     c = (base * wob).astype(np.float32) * 0.3
@@ -35,52 +37,57 @@ def _case(B, N, P, M, S, advance, nfft):
                          [(2, 6, 16, 39, 4, 0),
                           (1, 5, 16, 30, 3, 5),
                           (3, 4, 32, 63, 6, 0)])
-def test_fused_matches_xla(B, N, P, M, S, advance):
+def test_fused_matches_folded(B, N, P, M, S, advance):
     nfft = 1 << int(np.ceil(np.log2(2 * P + M + 1)))
-    x, c, weights, a = _case(B, N, P, M, S, advance, nfft)
-    cspec = jnp.fft.rfft(c, n=nfft).astype(jnp.complex64)
-    got = np.asarray(_cascade_pallas(x, cspec, weights, a, P, M, advance,
-                                     nfft, interpret=True))
-    want = np.asarray(_cascade_xla(x, c, weights, a, P, advance, nfft))
+    x, c, weights, a = _case(B, N, P, M, S)
+    K = nfft // 2 + 1
+    Kp = _pad128(K)
+    cspec = np.fft.rfft(np.asarray(c), n=nfft)
+    pad = [(0, 0), (0, 0), (0, Kp - K)]
+    cre = jnp.asarray(np.pad(cspec.real.astype(np.float32), pad))
+    cim = jnp.asarray(np.pad(cspec.imag.astype(np.float32), pad))
+    got = np.asarray(_cascade_pallas(
+        x.reshape(B, N, P), cre, cim, weights, a, P, M, advance, nfft,
+        interpret=True)).reshape(B, N * P)
+    want = np.asarray(taylor_cascade_folded(x, c, weights, a, P, advance,
+                                            nfft))
     np.testing.assert_allclose(got, want, rtol=2e-4,
                                atol=2e-4 * float(np.abs(want).max()))
 
 
-def test_inverse_slice_matrix_matches_irfft():
-    """The sliced inverse-DFT matrix reproduces irfft rows M..M+2P-1."""
-    nfft, M, P = 128, 39, 16
-    K = nfft // 2 + 1
-    _, _, G_re, G_im = _dft_plan(nfft, M, P)
-    Y = (RNG.standard_normal((5, K))
-         + 1j * RNG.standard_normal((5, K))).astype(np.complex64)
-    want = np.fft.irfft(Y, n=nfft)[:, M:M + 2 * P]
-    # The plan matrices are zero-padded to 128-multiple (Kp, Qp) for
-    # the TPU lane-tiling constraint; the live block is [:K, :2P].
-    Yp = np.zeros((5, G_re.shape[0]), np.complex64)
-    Yp[:, :K] = Y
-    got = (np.real(Yp) @ G_re + np.imag(Yp) @ G_im)[:, :2 * P]
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-    assert G_re.shape[0] % 128 == 0 and G_re.shape[1] % 128 == 0
+def test_taylor_cascade_entry_and_grad():
+    """The public entry falls back to the folded XLA path off-TPU and
+    carries gradients."""
+    B, N, P, M, S, advance = 2, 5, 16, 30, 3, 0
+    nfft = 128
+    x, c, weights, a = _case(B, N, P, M, S)
+    y = taylor_cascade(x, c, weights, a, P, advance, nfft)
+    want = taylor_cascade_folded(x, c, weights, a, P, advance, nfft)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    g = jax.grad(lambda e: jnp.sum(
+        taylor_cascade(e, c, weights, a, P, advance, nfft) ** 2))(x)
+    assert np.all(np.isfinite(np.asarray(g))) and float(
+        jnp.max(jnp.abs(g))) > 0
 
 
 def test_mlsa_fused_wiring():
-    """MLSA(cascade="fused") equals the stage-by-stage path and carries
-    gradients (CPU: the fused op falls back to the XLA formulation, so
-    this pins the wiring + custom-vjp plumbing)."""
-    import jax
+    """MLSA(cascade="fused") goes through taylor_cascade and matches the
+    stages path (off-TPU it reduces to the folded XLA formulation)."""
+    from diffsptk_tpu.ops.mglsadf import PseudoMGLSADigitalFilter
 
-    import diffsptk_tpu
+    B, T, P, Mc = 2, 320, 16, 7
+    N = T // P
+    x = jnp.asarray(RNG.standard_normal((B, T)).astype(np.float32))
+    mc = jnp.asarray(
+        (RNG.standard_normal((B, N, Mc + 1)) * 0.2).astype(np.float32))
 
-    P, Mc = 16, 4
-    x = jnp.asarray(RNG.standard_normal(8 * P).astype(np.float32))
-    mc = jnp.asarray((RNG.standard_normal((8, Mc + 1)) * 0.2)
-                     .astype(np.float32))
-    mk = lambda **kw: diffsptk_tpu.MLSA(Mc, frame_period=P, alpha=0.42,
-                                        taylor_order=6, cep_order=39,
-                                        **kw)
-    y0 = mk()(x, mc)
-    y1 = mk(cascade="fused")(x, mc)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
-                               rtol=1e-5, atol=1e-6)
-    g = jax.grad(lambda e: jnp.sum(mk(cascade="fused")(e, mc) ** 2))(x)
-    assert np.isfinite(np.asarray(g)).all() and np.any(np.asarray(g) != 0)
+    def mk(cascade):
+        return PseudoMGLSADigitalFilter(
+            Mc, P, alpha=0.42, mode="multi-stage", taylor_order=4,
+            cep_order=59, cascade=cascade)
+
+    y0 = mk("stages")(x, mc)
+    y1 = mk("fused")(x, mc)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-5,
+                               atol=1e-5 * float(jnp.max(jnp.abs(y0))))

@@ -41,13 +41,13 @@ SUB, LANE = 8, 128
 TILE = SUB * LANE
 
 
-def _newton_kernel(rt_ref, b_ref, x_ref, *, n):
-    # Lower triangle of A = Toeplitz(rt[:n]) + Hankel(rt), formed in
-    # registers from the correlation vector.
+def _newton_kernel(p_ref, q_ref, b_ref, x_ref, *, n):
+    # Lower triangle of A = Toeplitz(p) + Hankel(q), formed in
+    # registers from the two generator vectors.
     A = {}
     for i in range(n):
         for j in range(i + 1):
-            A[(i, j)] = rt_ref[i - j] + rt_ref[i + j]
+            A[(i, j)] = p_ref[i - j] + q_ref[i + j]
 
     L = {}
     dinv = [None] * n
@@ -79,29 +79,34 @@ def _newton_kernel(rt_ref, b_ref, x_ref, *, n):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def newton_solve_pallas(rt: jnp.ndarray, b: jnp.ndarray,
-                        interpret: bool = False) -> jnp.ndarray:
-    """Solve (Toeplitz(rt[:n]) + Hankel(rt)) x = b, batched.
+def toephank_solve_pallas(p: jnp.ndarray, q: jnp.ndarray, b: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Solve (Toeplitz(p) + Hankel(q)) x = b, batched.
 
-    rt: (..., 2n-1) float32 correlation vector, b: (..., n) float32.
+    p: (..., n), q: (..., 2n-1), b: (..., n), all float32.
     """
     n = b.shape[-1]
-    if rt.shape[-1] != 2 * n - 1:
-        raise ValueError("rt must have 2 * b.shape[-1] - 1 entries.")
+    if p.shape[-1] != n or q.shape[-1] != 2 * n - 1:
+        raise ValueError(
+            "p must have n entries and q must have 2n-1 entries.")
     batch_shape = b.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
 
-    rt_t = jnp.moveaxis(rt.reshape(-1, 2 * n - 1), 0, -1)   # (2n-1, B)
+    p_t = jnp.moveaxis(p.reshape(-1, n), 0, -1)             # (n, B)
+    q_t = jnp.moveaxis(q.reshape(-1, 2 * n - 1), 0, -1)     # (2n-1, B)
     b_t = jnp.moveaxis(b.reshape(-1, n), 0, -1)             # (n, B)
     Bp = -(-B // TILE) * TILE
     if Bp != B:
         # identity padding keeps rsqrt finite in the dead lanes
-        pad_rt = jnp.zeros((2 * n - 1, Bp - B), rt.dtype).at[0].set(1.0)
-        rt_t = jnp.concatenate([rt_t, pad_rt], axis=-1)
+        pad_p = jnp.zeros((n, Bp - B), p.dtype).at[0].set(1.0)
+        p_t = jnp.concatenate([p_t, pad_p], axis=-1)
+        q_t = jnp.concatenate(
+            [q_t, jnp.zeros((2 * n - 1, Bp - B), q.dtype)], axis=-1)
         b_t = jnp.concatenate(
             [b_t, jnp.zeros((n, Bp - B), b.dtype)], axis=-1)
 
-    rt_t = rt_t.reshape(2 * n - 1, Bp // LANE, LANE)
+    p_t = p_t.reshape(n, Bp // LANE, LANE)
+    q_t = q_t.reshape(2 * n - 1, Bp // LANE, LANE)
     b_t = b_t.reshape(n, Bp // LANE, LANE)
 
     kernel = functools.partial(_newton_kernel, n=n)
@@ -109,6 +114,8 @@ def newton_solve_pallas(rt: jnp.ndarray, b: jnp.ndarray,
         kernel,
         grid=(Bp // TILE,),
         in_specs=[
+            pl.BlockSpec((n, SUB, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * n - 1, SUB, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, SUB, LANE), lambda i: (0, i, 0),
@@ -118,10 +125,20 @@ def newton_solve_pallas(rt: jnp.ndarray, b: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, Bp // LANE, LANE), b.dtype),
         interpret=interpret,
-    )(rt_t, b_t)
+    )(p_t, q_t, b_t)
 
     out = out.reshape(n, Bp)[:, :B]
     return jnp.moveaxis(out, -1, 0).reshape(batch_shape + (n,))
+
+
+def newton_solve_pallas(rt: jnp.ndarray, b: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Solve (Toeplitz(rt[:n]) + Hankel(rt)) x = b (the mcep Newton
+    structure, where both generators come from one correlation vector)."""
+    n = b.shape[-1]
+    if rt.shape[-1] != 2 * n - 1:
+        raise ValueError("rt must have 2 * b.shape[-1] - 1 entries.")
+    return toephank_solve_pallas(rt[..., :n], rt, b, interpret=interpret)
 
 
 @functools.lru_cache(maxsize=None)
@@ -157,3 +174,46 @@ def _newton_bwd(res, g):
 
 
 newton_solve.defvjp(_newton_fwd, _newton_bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _structure_onehots_pq(n: int):
+    """Separate (n, n, n) Toeplitz and (n, n, 2n-1) Hankel one-hots."""
+    i = np.arange(n)[:, None, None]
+    j = np.arange(n)[None, :, None]
+    kp = np.arange(n)[None, None, :]
+    kq = np.arange(2 * n - 1)[None, None, :]
+    Sp = (np.abs(i - j) == kp).astype(np.float64)
+    Sq = ((i + j) == kq).astype(np.float64)
+    return Sp, Sq
+
+
+@jax.custom_vjp
+def toephank_solve(p: jnp.ndarray, q: jnp.ndarray,
+                   b: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable (Toeplitz(p) + Hankel(q)) solve (Pallas forward) —
+    the mgcep Newton structure, where the Toeplitz and Hankel
+    generators differ (ops/mgcep.py:184-186)."""
+    return toephank_solve_pallas(p, q, b)
+
+
+def _toephank_fwd(p, q, b):
+    x = toephank_solve_pallas(p, q, b)
+    return x, (p, q, x)
+
+
+def _toephank_bwd(res, g):
+    p, q, x = res
+    n = x.shape[-1]
+    z = toephank_solve_pallas(p, q, g)
+    Sp, Sq = _structure_onehots_pq(n)
+    dA = -z[..., :, None] * x[..., None, :]
+    hi = jax.lax.Precision.HIGHEST
+    dp = jnp.einsum("...ij,ijk->...k", dA, jnp.asarray(Sp, x.dtype),
+                    precision=hi)
+    dq = jnp.einsum("...ij,ijk->...k", dA, jnp.asarray(Sq, x.dtype),
+                    precision=hi)
+    return dp, dq, z
+
+
+toephank_solve.defvjp(_toephank_fwd, _toephank_bwd)

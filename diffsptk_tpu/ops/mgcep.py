@@ -181,9 +181,17 @@ class MelGeneralizedCepstralAnalysis(BaseNonFunctionalOp):
             qt = q[..., 2:] * (1 + gamma)
             rt = r[..., 1:]
 
-            R = symmetric_toeplitz(pt)
-            Q = hankel(qt)
-            gradient = spd_solve(R + Q, rt)
+            from .mcep import _use_newton_kernel
+            if _use_newton_kernel(qt):
+                # TPU: unrolled register-tile Pallas kernel forming
+                # A[i, j] = pt[|i-j|] + qt[i+j] in registers
+                # (kernels/pallas_newton.py).
+                from ..kernels.pallas_newton import toephank_solve
+                gradient = toephank_solve(pt, qt, rt)
+            else:
+                R = symmetric_toeplitz(pt)
+                Q = hankel(qt)
+                gradient = spd_solve(R + Q, rt)
             b1 = b1 + gradient
 
             if gamma == -1:

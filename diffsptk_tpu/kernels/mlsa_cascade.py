@@ -112,6 +112,64 @@ def _stage(xq, cre, cim, Ffwd, Ginv_re, Ginv_im, r0, n_blk, P, K,
     return V[..., :P] + hi
 
 
+@functools.lru_cache(maxsize=None)
+def stage_plans(nfft: int, m: int, p: int, advance: int = 0):
+    """Folded forward plans plus the *unblended* inverse plan.
+
+    For callers that blend lo/hi explicitly because the hi frame may
+    live on a neighbor shard (parallel/vocoder.py): Ffwd as in
+    ``cascade_plan``; G2 evaluates the inverse DFT at the 2P blend
+    slots M..M+2P-1 with no lerp weights folded in.
+    """
+    Ffwd, _, _, r0, n_blk = cascade_plan(nfft, m, p, advance)
+    K = nfft // 2 + 1
+    w = np.full(K, 2.0)
+    w[0] = 1.0
+    if nfft % 2 == 0:
+        w[-1] = 1.0
+    k = np.arange(K)
+    slots = m + np.arange(2 * p)
+    a = 2.0 * np.pi * np.outer(k, slots) / nfft
+    G2_re = w[:, None] * np.cos(a) / nfft
+    G2_im = -w[:, None] * np.sin(a) / nfft
+    return Ffwd, G2_re, G2_im, r0, n_blk
+
+
+def stage_apply(xq_ext: jnp.ndarray, cre: jnp.ndarray, cim: jnp.ndarray,
+                nfft: int, m: int, p: int, advance: int = 0,
+                precision=Precision.HIGH) -> jnp.ndarray:
+    """One folded MLSA stage on pre-extended frame rows.
+
+    xq_ext (..., n_out + n_blk, P): local frames extended by r0 rows on
+    the left and n_blk - r0 on the right (neighbor halos, or zeros at
+    global edges — the same zeros the plan's dead rows encode).
+    cre/cim (..., n_out + 1, K): coefficient spectra for the local
+    frames plus the right-neighbor frame (edge-replicated globally).
+    Returns the blended (..., n_out, P) stage output.
+    """
+    Ffwd, G2_re, G2_im, r0, n_blk = stage_plans(nfft, m, p, advance)
+    dt = xq_ext.dtype
+    F = jnp.asarray(Ffwd, dt)
+    Gre = jnp.asarray(G2_re, dt)
+    Gim = jnp.asarray(G2_im, dt)
+    K = nfft // 2 + 1
+    n_out = xq_ext.shape[-2] - n_blk
+    X = None
+    for r in range(n_blk):
+        part = jnp.matmul(xq_ext[..., r:r + n_out + 1, :], F[r],
+                          precision=precision)
+        X = part if X is None else X + part
+    Xre, Xim = X[..., :K], X[..., K:]
+    Yre = Xre * cre - Xim * cim
+    Yim = Xre * cim + Xim * cre
+    U = (jnp.matmul(Yre, Gre, precision=precision)
+         + jnp.matmul(Yim, Gim, precision=precision))   # (.., n_out+1, 2P)
+    lam = jnp.asarray(np.arange(p) / p, dt)
+    lo = U[..., :-1, p:]
+    hi = U[..., 1:, :p]
+    return lo * (1 - lam) + hi * lam
+
+
 def taylor_cascade_folded(x: jnp.ndarray, c: jnp.ndarray,
                           weights: jnp.ndarray, a: jnp.ndarray,
                           P: int, advance: int, nfft: int,

@@ -98,19 +98,21 @@ class ShardedMelCepstralVocoder:
         c_ext = exchange_halo(c, 0, 1, self.tp, axis=-2, pad_mode="edge")
         c0_ext = exchange_halo(c0, 0, 1, self.tp, axis=-2, pad_mode="edge")
         from ..kernels import mxu_fft
+        from ..kernels.mlsa_cascade import stage_apply, stage_plans
         c_spec = mxu_fft.rfft(c_ext, nfft)     # (..., Nl+1, nfft/2+1)
+        cre = jnp.real(c_spec).astype(x_blk.dtype)
+        cim = jnp.imag(c_spec).astype(x_blk.dtype)
 
         lam = jnp.asarray(np.arange(Pd) / Pd, x_blk.dtype)
-        idx = np.arange(n_local + 1)[:, None] * Pd + np.arange(2 * Pd + M)
+        # folded-plan stage (kernels/mlsa_cascade.py): the halo moves to
+        # the frame axis — r0 rows left / n_blk - r0 right cover the
+        # (P+M, P)-sample dependency cone frame-aligned.
+        _, _, _, r0, n_blk = stage_plans(nfft, M, Pd)
 
         def stage(xin):
-            x_ext = exchange_halo(xin, Pd + M, Pd, self.tp)
-            ctx = x_ext[..., idx]              # (..., Nl+1, 2P+M)
-            U = mxu_fft.irfft(mxu_fft.rfft(ctx, nfft) * c_spec,
-                              nfft)[..., M:M + 2 * Pd]
-            lo = U[..., :-1, Pd:]
-            hi = U[..., 1:, :Pd]
-            y = lo * (1 - lam) + hi * lam
+            xq = xin.reshape(*xin.shape[:-1], n_local, Pd)
+            xq_ext = exchange_halo(xq, r0, n_blk - r0, self.tp, axis=-2)
+            y = stage_apply(xq_ext, cre, cim, nfft, M, Pd)
             return y.reshape(*xin.shape)
 
         w = jnp.asarray(self.taylor_weights, x_blk.dtype)
@@ -157,7 +159,10 @@ class ShardedMelCepstralVocoder:
                               pad_mode="edge")
         c0_ext = exchange_halo(c0, 0, 1, self.tp, axis=-2, pad_mode="edge")
         from ..kernels import mxu_fft
+        from ..kernels.mlsa_cascade import stage_apply, stage_plans
         c_spec = mxu_fft.rfft(c_ext, nfft)     # (..., n_ext+1, K)
+        cre = jnp.real(c_spec).astype(x_blk.dtype)
+        cim = jnp.imag(c_spec).astype(x_blk.dtype)
 
         x_ext = exchange_halo(x_blk, hl, hr, self.tp)
         n_ext = n_local + hl_f + hr_f
@@ -167,17 +172,13 @@ class ShardedMelCepstralVocoder:
         inside = ((pos >= 0) & (pos < T_l * ntp)).astype(x_blk.dtype)
 
         lam = jnp.asarray(np.arange(Pd) / Pd, x_blk.dtype)
-        idx = np.arange(n_ext + 1)[:, None] * Pd + np.arange(2 * Pd + M)
+        _, _, _, r0, n_blk = stage_plans(nfft, M, Pd)
 
         def stage(xin):
-            pad = [(0, 0)] * (xin.ndim - 1) + [(Pd + M, 2 * Pd)]
-            ctx = jnp.pad(xin, pad)[..., idx]
-            U = mxu_fft.irfft(mxu_fft.rfft(ctx, nfft) * c_spec,
-                              nfft)[..., M:M + 2 * Pd]
-            lo = U[..., :-1, Pd:]
-            hi = U[..., 1:, :Pd]
-            y = (lo * (1 - lam) + hi * lam).reshape(*xin.shape)
-            return y * inside
+            xq = xin.reshape(*xin.shape[:-1], n_ext, Pd)
+            pad = [(0, 0)] * (xq.ndim - 2) + [(r0, n_blk - r0), (0, 0)]
+            y = stage_apply(jnp.pad(xq, pad), cre, cim, nfft, M, Pd)
+            return y.reshape(*xin.shape) * inside
 
         w = jnp.asarray(self.taylor_weights, x_blk.dtype)
         y = x_ext * inside

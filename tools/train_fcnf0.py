@@ -30,6 +30,7 @@ Run:  python tools/train_fcnf0.py [--steps N] [--batch B] [--out F]
 from __future__ import annotations
 
 import argparse
+import functools
 import math
 import sys
 import time
@@ -106,6 +107,64 @@ def synth_batch(rng: np.random.Generator, batch: int):
     return x.astype(np.float32), target.astype(np.float32)
 
 
+# Device-side corpus synthesis: same distribution as synth_batch but in
+# jnp under jit, so accelerator training is not bottlenecked on the
+# single host core (~70 steps/min host-bound vs TPU step time in ms).
+def synth_batch_device(key, batch: int):
+    B, W, SR = batch, PENN_WINDOW_SIZE, PENN_SAMPLE_RATE
+    K = 24
+    ks = jax.random.split(key, 12)
+    t = jnp.arange(W) / SR
+    k = jnp.arange(1, K + 1, dtype=jnp.float32)
+
+    f0 = jnp.exp(jax.random.uniform(
+        ks[0], (B,), minval=math.log(41.0), maxval=math.log(1300.0)))
+    drift = jax.random.uniform(ks[1], (B,), minval=-0.02, maxval=0.02)
+    inst_f0 = f0[:, None] * (1 + drift[:, None] * (t[None, :] * SR / W))
+    phase = 2 * jnp.pi * jnp.cumsum(inst_f0, axis=1) / SR
+
+    rolloff = k[None, :] ** -jax.random.uniform(
+        ks[2], (B, 1), minval=0.3, maxval=2.5)
+    env = rolloff
+    n_formants = jax.random.randint(ks[3], (B,), 0, 4)
+    fc = jnp.exp(jax.random.uniform(
+        ks[4], (B, 3), minval=math.log(150.0), maxval=math.log(3000.0)))
+    bw = jax.random.uniform(ks[5], (B, 3), minval=60.0, maxval=500.0)
+    gain = jax.random.uniform(ks[6], (B, 3), minval=0.0, maxval=8.0)
+    hfreq = f0[:, None] * k[None, :]
+    for j in range(3):
+        active = (n_formants > j)[:, None]
+        bump = gain[:, j:j + 1] * jnp.exp(
+            -0.5 * ((hfreq - fc[:, j:j + 1]) / bw[:, j:j + 1]) ** 2)
+        env = env * jnp.where(active, 1 + bump, 1.0)
+    env = env * (hfreq < SR / 2 - 150)
+
+    phases0 = jax.random.uniform(ks[7], (B, K), maxval=2 * jnp.pi)
+    x = jnp.einsum("bk,bkt->bt", env,
+                   jnp.sin(k[None, :, None] * phase[:, None, :]
+                           + phases0[:, :, None]))
+    x = x / jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-9)
+
+    snr_db = jax.random.uniform(ks[8], (B,), minval=0.0, maxval=40.0)
+    sig_pow = jnp.mean(x ** 2, axis=1)
+    noise_pow = sig_pow / 10 ** (snr_db / 10)
+    noise = jax.random.normal(ks[9], (B, W))
+    x = x + noise * jnp.sqrt(noise_pow)[:, None]
+
+    bins = 1200 * jnp.log2(f0 / PENN_FMIN) / PENN_CENTS_PER_BIN
+    bc = jnp.arange(PENN_PITCH_BINS, dtype=jnp.float32)
+    target = jnp.exp(-0.5 * ((bc[None, :] - bins[:, None])
+                             * PENN_CENTS_PER_BIN / TARGET_STD_CENTS) ** 2)
+
+    unvoiced = jax.random.uniform(ks[10], (B,)) < 0.10
+    x = jnp.where(unvoiced[:, None], noise, x)
+    target = jnp.where(unvoiced[:, None], 1.0, target)
+
+    x = x * jax.random.uniform(ks[11], (B, 1), minval=0.03, maxval=1.0)
+    target = target / jnp.sum(target, axis=1, keepdims=True)
+    return x.astype(jnp.float32), target.astype(jnp.float32)
+
+
 # ----------------------------------------------------------------- train
 def main():
     ap = argparse.ArgumentParser()
@@ -122,6 +181,9 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # The library defaults matmul precision to 'highest' for DSP parity;
+    # CNN training wants bf16 MXU throughput (penn trains in bf16/amp).
+    jax.config.update("jax_default_matmul_precision", "default")
 
     if args.resume:
         params = {k: jnp.asarray(v)
@@ -151,6 +213,34 @@ def main():
             new_p[k] = p[k] - args.lr * mhat / (jnp.sqrt(vhat) + eps)
         return new_p, new_m, new_v, loss
 
+    # One dispatch per CHUNK of steps: on the remote-tunnel TPU each
+    # dispatch costs ~0.5 s of latency, so the (synth + step) pair is
+    # rolled into a lax.scan and launched 100 steps at a time.
+    CHUNK = 100
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def train_chunk(p, m, v, key, n_inner, t0):
+        def body(carry, i):
+            p, m, v, key = carry
+            key, sub = jax.random.split(key)
+            x, target = synth_batch_device(sub, args.batch)
+            loss, grads = jax.value_and_grad(loss_fn)(p, x, target)
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            t = (t0 + i).astype(jnp.float32)
+            new_p, new_m, new_v = {}, {}, {}
+            for k in p:
+                g = grads[k]
+                new_m[k] = b1 * m[k] + (1 - b1) * g
+                new_v[k] = b2 * v[k] + (1 - b2) * g * g
+                mhat = new_m[k] / (1 - b1 ** t)
+                vhat = new_v[k] / (1 - b2 ** t)
+                new_p[k] = p[k] - args.lr * mhat / (jnp.sqrt(vhat) + eps)
+            return (new_p, new_m, new_v, key), loss
+
+        (p, m, v, key), losses = jax.lax.scan(
+            body, (p, m, v, key), jnp.arange(n_inner))
+        return p, m, v, key, losses[-1]
+
     @jax.jit
     def eval_fn(p, x):
         logits = fcnf0_forward(p, x)
@@ -160,11 +250,22 @@ def main():
         return jnp.argmax(probs, axis=-1), periodicity
 
     rng = np.random.default_rng(args.seed + 1)
+    on_device = jax.devices()[0].platform != "cpu"
+    if on_device:
+        key = jax.random.PRNGKey(args.seed + 99)
     t0 = time.time()
-    for step in range(1, args.steps + 1):
-        x, target = synth_batch(rng, args.batch)
-        params, m, v, loss = step_fn(params, m, v, jnp.asarray(x),
-                                     jnp.asarray(target), step)
+    step = 0
+    while step < args.steps:
+        if on_device:
+            n_inner = min(CHUNK, args.steps - step)
+            params, m, v, key, loss = train_chunk(
+                params, m, v, key, n_inner, jnp.asarray(step + 1))
+            step += n_inner
+        else:
+            x, target = synth_batch(rng, args.batch)
+            step += 1
+            params, m, v, loss = step_fn(params, m, v, jnp.asarray(x),
+                                         jnp.asarray(target), step)
         if step % 500 == 0 or step == args.steps:
             xe, te = synth_batch(rng, 256)
             bins_hat, period = eval_fn(params, jnp.asarray(xe))

@@ -16,14 +16,21 @@ import numpy as np
 
 
 def timeit(fn, *args, warmup=2, iters=10):
+    """Per-call wall time as the slope between two iteration counts, so
+    the ~30 ms scalar-readback RTT of the tunnel platform cancels
+    (the readback is the only reliable execution barrier there)."""
     for _ in range(warmup):
         float(jnp.sum(fn(*args)))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    float(jnp.sum(out))
-    return (time.perf_counter() - t0) / iters
+    lo, hi = iters, 4 * iters
+    ts = {}
+    for n in (lo, hi):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        float(jnp.sum(out))
+        ts[n] = time.perf_counter() - t0
+    return (ts[hi] - ts[lo]) / (hi - lo)
 
 
 def snr_db(ref, est):
@@ -74,7 +81,7 @@ def main() -> None:
     # fused VMEM-resident Pallas kernel) and report the faster one.
     from diffsptk_tpu.models.mcep_vocoder import MelCepstralVocoder
     best = None
-    for cascade in ("stages", "fused"):
+    for cascade in ("folded", "stages", "fused"):
         voc = MelCepstralVocoder(frame_length=400, frame_period=80,
                                  fft_length=512, cep_order=24, alpha=0.42,
                                  n_iter=10, cascade=cascade)

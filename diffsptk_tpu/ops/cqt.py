@@ -240,6 +240,18 @@ class InverseConstantQTransform(BaseNonFunctionalOp):
             freq_power = 1.0 / np.sum(np.abs(fft_basis) ** 2, axis=1)
             freq_power *= fft_length / lengths[sl]
             fft_basis = fft_basis * freq_power[:, None]
+            # Fold the inverse transform into the (rank n_filter) basis:
+            # irfft(C @ B) = Re(C) @ irfft(B) + Im(C) @ irfft(iB), so the
+            # per-frame length-L inverse FFT becomes two tiny matmuls
+            # against host-precomputed time bases — the spectrogram is
+            # rank n_filter, and the L-point transform of each basis row
+            # is a design-time constant.
+            tb_re = np.fft.irfft(fft_basis, n=fft_length)
+            tb_im = np.fft.irfft(1j * fft_basis, n=fft_length)
+            self.time_bases_re = getattr(self, "time_bases_re", [])
+            self.time_bases_im = getattr(self, "time_bases_im", [])
+            self.time_bases_re.append(to_device_array(tb_re, dtype))
+            self.time_bases_im.append(to_device_array(tb_im, dtype))
             self.fft_bases.append(to_device_array(fft_basis, dtype))
             self.transforms.append(InverseShortTimeFourierTransform(
                 frame_length=fft_length, frame_period=fp[i],
@@ -253,8 +265,9 @@ class InverseConstantQTransform(BaseNonFunctionalOp):
         y = None
         for i in range(len(self.transforms)):
             C = c[..., self.slices[i]] * self.cqt_scale[self.slices[i]]
-            X = jnp.matmul(C, self.fft_bases[i])
-            x = self.transforms[i](X)
+            u = (jnp.matmul(jnp.real(C), self.time_bases_re[i])
+                 + jnp.matmul(jnp.imag(C), self.time_bases_im[i]))
+            x = self.transforms[i].unframe(u)
             x = self.resamplers[i](x)
             if i == 0:
                 y = x[..., :out_length]

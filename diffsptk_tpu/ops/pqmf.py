@@ -105,8 +105,22 @@ def _pad_signal(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
 
 
 def _grouped_conv(x: jnp.ndarray, filters: jnp.ndarray) -> jnp.ndarray:
-    """(B, C, Tp) x (K, C, M+1) -> (B, K, T) cross-correlation."""
+    """(B, C, Tp) x (K, C, M+1) -> (B, K, T) cross-correlation.
+
+    Design-time (non-learnable) filters route through the folded-plan
+    FIR matmuls (kernels/fir.py): XLA's conv pads the tiny channel dims
+    to the 128-lane tile and runs ~100x off roofline on TPU.  Learnable
+    (traced) filters keep the conv form.
+    """
     dt = jnp.result_type(x.dtype, filters.dtype)
+    if not isinstance(filters, jax.core.Tracer):
+        from ..kernels.fir import fir_correlate
+        h = np.asarray(filters)                     # (K, C, taps)
+        out = None
+        for c in range(h.shape[1]):
+            part = fir_correlate(x[..., c, :].astype(dt), h[:, c, :])
+            out = part if out is None else out + part
+        return out
     return jax.lax.conv_general_dilated(
         x.astype(dt), filters.astype(dt), window_strides=(1,),
         padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))

@@ -83,15 +83,46 @@ class Resampler:
         target_length = -(-self.new_freq * T // self.orig_freq)  # ceil
         pad = self.width + self.orig_freq
         xf = jnp.pad(xf, [(0, 0), (self.width, pad)])
-        # Polyphase filtering as a framed matmul: frame n covers
-        # [n*orig, n*orig + K); all phases come from one (n, K) @ (K, P)
-        # dot on the MXU.  (The equivalent 1-channel wide-kernel strided
-        # conv takes minutes to compile on the TPU AOT compiler.)
         K = self.kernel.shape[-1]
+        kern = np.asarray(self.kernel)[:, 0, :]          # (P, K) host
         n_frames = (xf.shape[-1] - K) // self.orig_freq + 1
-        idx = (np.arange(n_frames)[:, None] * self.orig_freq
-               + np.arange(K)[None, :])
-        frames = xf[..., idx]                            # (B, n, K)
-        y = frames @ self.kernel[:, 0, :].T.astype(x.dtype)  # (B, n, P)
+        if self.new_freq == 1 and self.orig_freq > 1:
+            # Integer downsample by D: split x into its D input phases
+            # and sum one folded-plan FIR per phase
+            # (kernels/fir.py — the framed gather below materializes a
+            # (B, n, K) tensor, ~50x the math's traffic).
+            from ..kernels.fir import fir_correlate
+            D = self.orig_freq
+            # zero-extend so every phase covers n_frames valid outputs
+            # (touched samples stay within the original buffer; the
+            # extension only feeds outputs that are sliced away)
+            L = (n_frames + -(-K // D)) * D
+            xz = jnp.pad(xf, [(0, 0), (0, max(0, L - xf.shape[-1]))])
+            xz = xz[..., :L]
+            xp = xz.reshape(xf.shape[0], -1, D)           # (B, L/D, D)
+            y = None
+            for p in range(D):
+                hp = kern[:1, p::D]                       # (1, ceil(K/D))
+                if hp.shape[-1] == 0:
+                    continue
+                part = fir_correlate(xp[..., p], hp)[..., 0, :n_frames]
+                y = part if y is None else y + part
+        elif self.orig_freq == 1 and self.new_freq > 1:
+            # Integer upsample by P: one folded-plan FIR bank with P
+            # output phases, interleaved.
+            from ..kernels.fir import fir_correlate
+            ph = fir_correlate(xf, kern)                  # (B, P, n)
+            n = ph.shape[-1]
+            y = jnp.swapaxes(ph, -2, -1).reshape(xf.shape[0], -1)
+            n_frames = n
+        else:
+            # Rational ratio: framed matmul, frame n covers
+            # [n*orig, n*orig + K); all phases from one (n, K) @ (K, P)
+            # MXU dot.  (A 1-channel wide-kernel strided conv takes
+            # minutes to compile on the TPU AOT compiler.)
+            idx = (np.arange(n_frames)[:, None] * self.orig_freq
+                   + np.arange(K)[None, :])
+            frames = xf[..., idx]                        # (B, n, K)
+            y = frames @ self.kernel[:, 0, :].T.astype(x.dtype)
         y = y.reshape(xf.shape[0], -1)[..., :target_length]
         return y.reshape(*shape[:-1], target_length)

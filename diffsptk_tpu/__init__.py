@@ -4,17 +4,13 @@ Built from scratch in JAX/XLA/Pallas with the capability surface of
 sp-nitech/diffsptk.  See SURVEY.md for the blueprint.
 """
 
-import jax as _jax
-
-# On TPU, JAX's DEFAULT matmul precision rounds inputs to bfloat16.
-# This library's operators assemble solver systems and basis transforms
-# by matmul (Newton Hessians, freqt warps, DFT plans); 1e-3-relative
-# rounding there silently breaks f32 parity — and makes the
-# mgcep Newton Hessian lose positive-definiteness outright (NaN).
-# Default to full f32; hot paths that have an accuracy budget opt into
-# lower precision explicitly (kernels/mlsa_cascade.py uses HIGH).
-# Users can override after import via jax.default_matmul_precision.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# Matmul precision: on TPU, JAX's DEFAULT matmul precision rounds
+# inputs to bfloat16, which breaks f32 solver parity.  The library pins
+# its OWN dispatch points (BaseOp.apply / the functional path / learner
+# entries) to full-f32 matmuls via core.full_precision — it does NOT
+# mutate the process-global jax config, so user code sharing the
+# process keeps whatever precision it configured.  Hot paths with an
+# accuracy budget opt down via explicit precision= arguments.
 
 from . import functional
 from .core import BaseLearnerOp, BaseNonFunctionalOp, BaseOp, Design

@@ -29,6 +29,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def full_precision(fn):
+    """Pin matmul precision to full float32 inside library entry points.
+
+    On TPU, JAX's DEFAULT matmul precision rounds inputs to bfloat16.
+    This library's operators assemble solver systems and basis transforms
+    by matmul (Newton Hessians, freqt warps, DFT plans); 1e-3-relative
+    rounding there silently breaks f32 parity — and makes the mgcep
+    Newton Hessian lose positive-definiteness outright (NaN).  Rather
+    than mutate the process-global config at import time (which would
+    silently slow every matmul in unrelated user code sharing the
+    process), the library scopes the override to its own dispatch points:
+    ``BaseOp.apply``, the stateless ``_apply_design`` path, and learner
+    entry points.  Hot paths with an accuracy budget opt into lower
+    precision via explicit ``precision=`` arguments (which always win
+    over this default, e.g. kernels/mlsa_cascade.py).  Under ``jit`` the
+    context applies at trace time, so there is no runtime cost.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 class Design(NamedTuple):
     """Host-side precomputed state for one operator.
 
@@ -134,6 +160,7 @@ class BaseOp:
     def __call__(self, *args, **kwargs):
         return self.apply(self.params, *args, **kwargs)
 
+    @full_precision
     def apply(self, params: dict, *args, **kwargs):
         """Pure application: ``params`` replaces ``self.params``."""
         state = {name: getattr(self, name) for name in self._value_names}
@@ -150,6 +177,7 @@ class BaseOp:
     _input_names: tuple[str, ...] = ("x",)
 
     @classmethod
+    @full_precision
     def _apply_design(cls, design: Design, **inputs):
         state = {**design.values, **design.layers}
         state.update({k: to_device_array(v) for k, v in design.arrays.items()})

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import BaseLearnerOp, default_dtype
+from ..core import BaseLearnerOp, default_dtype, full_precision
 from .vq import VectorQuantization
 
 
@@ -766,3 +766,14 @@ class NonnegativeMatrixFactorization(BaseLearnerOp):
             y1 = y ** (self.beta - 1)
             U = U * ((y2 @ self.H.T) / (y1 @ self.H.T)) ** self.phi
         return U
+
+
+# Learner entry points assemble covariance/codebook statistics by matmul;
+# pin them to full-f32 matmul precision the same way BaseOp.apply is
+# (core.full_precision) — scoped to library calls, not process-global.
+for _cls in (GaussianMixtureModeling, LindeBuzoGrayAlgorithm,
+             PrincipalComponentAnalysis, IndependentComponentAnalysis,
+             NonnegativeMatrixFactorization):
+    _cls.__call__ = full_precision(_cls.__call__)
+    _cls.transform = full_precision(_cls.transform)
+del _cls

@@ -25,7 +25,7 @@ def _use_newton_kernel(rt: jnp.ndarray) -> bool:
     n = (rt.shape[-1] + 1) // 2
     batch = int(np.prod(rt.shape[:-1])) if rt.ndim > 1 else 1
     try:
-        on_tpu = jax.devices()[0].platform != "cpu"
+        on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
     return bool(on_tpu and rt.dtype == jnp.float32 and n <= 33

@@ -124,6 +124,11 @@ def minimum_phase_plans(nfft: int):
     Returns (H, IRe, IIm) float64: angle = u @ H;
     out[t] = sum_k Re[k] IRe[k,t] + Im[k] IIm[k,t].
     """
+    # The fold weights (w[-1]=1, fold[K-1]=1) and the t + nfft//2
+    # fftshift phasing are only correct for even nfft (odd-n fftshift
+    # rolls by (n-1)//2); every WORLD caller passes a power of two.
+    if nfft % 2 != 0:
+        raise ValueError("minimum_phase_plans requires an even fft length.")
     K = nfft // 2 + 1
     t = np.arange(nfft)
     k = np.arange(K)

@@ -181,9 +181,10 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    # The library defaults matmul precision to 'highest' for DSP parity;
-    # CNN training wants bf16 MXU throughput (penn trains in bf16/amp).
-    jax.config.update("jax_default_matmul_precision", "default")
+    # CNN training wants bf16 MXU throughput (penn trains in bf16/amp);
+    # the library no longer mutates the process-global precision, and
+    # this training loop calls the network apply directly (not through
+    # BaseOp dispatch), so the jax default ('default' = bf16) applies.
 
     if args.resume:
         params = {k: jnp.asarray(v)

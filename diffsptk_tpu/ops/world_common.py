@@ -152,6 +152,59 @@ def minimum_phase_plans(nfft: int):
     return H, IRe, IIm
 
 
+@functools.lru_cache(maxsize=None)
+def synthesis_response_plans(nfft: int):
+    """One folded (4K, nfft) plan for the whole per-pulse response.
+
+    The synthesis response is linear in the four spectra
+    (Re/Im of the periodic and aperiodic minimum-phase constructions),
+    and every step after the inverse transform — zeroing the periodic
+    response's acausal half, subtracting its DC via the rank-1
+    ``dc_remover`` outer product (reference world_synth.py:112-120,
+    266-273) — is ALSO linear.  So the masked-column inverse plans, the
+    DC projection row-sums, and the dc_remover outer product all fold
+    into one static matrix:
+
+        response = [re_p*s_p, im_p*s_p, re_a*s_a, im_a*s_a] @ P_fold
+
+    with per-slot scalars s_p = vuv*sqrt(noise_size)*valid/nfft and
+    s_a = valid/nfft folded into the rows.  One MXU matmul replaces
+    four matmuls plus three full passes over (B, Pmax, nfft)
+    temporaries (the DC reduction, the concat, the blend).
+
+    Returns (H, P_fold) float64 with P_fold of shape (4K, nfft), rows
+    [IRe_p; IIm_p; IRe; IIm] where the _p blocks carry the causal-half
+    mask and the DC fold.
+    """
+    H, IRe, IIm = minimum_phase_plans(nfft)
+    half = nfft // 2
+    # GetDCRemover() (reference world_synth.py:112-120)
+    r = np.arange(1, half + 1)
+    dc = 0.5 - 0.5 * np.cos(TAU / (1 + nfft) * r)
+    dc = dc / (2 * np.sum(dc))
+    dc_remover = np.concatenate([dc, dc[::-1]])
+    mask = np.zeros(nfft)
+    mask[half:] = 1.0
+    sRe = np.sum(IRe[:, half:], axis=1)       # DC of the causal half
+    sIm = np.sum(IIm[:, half:], axis=1)
+    IRe_p = IRe * mask - np.outer(sRe, dc_remover)
+    IIm_p = IIm * mask - np.outer(sIm, dc_remover)
+    return H, np.vstack([IRe_p, IIm_p, IRe, IIm])
+
+
+@functools.lru_cache(maxsize=None)
+def noise_dft_plans(n_in: int, nfft: int):
+    """Real-DFT plan pair for the per-pulse noise spectrum: a length
+    ``n_in`` real signal zero-padded to ``nfft``, as two (n_in, K)
+    matmuls (cos, -sin) — XLA's batched FFT loses to one MXU matmul at
+    these tiny per-row sizes."""
+    K = nfft // 2 + 1
+    t = np.arange(n_in)
+    k = np.arange(K)
+    arg = 2.0 * np.pi * np.outer(t, k) / nfft
+    return np.cos(arg), -np.sin(arg)
+
+
 def frames_matching_f0(x, n_frames, frame_length, frame_period,
                        mode="edge", zmean=False):
     """Centered, replicate-padded frames of x — exactly ``n_frames`` rows.

@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import BaseNonFunctionalOp, to_device_array
-from .world_common import TAU, minimum_phase_plans
+from ..core import BaseNonFunctionalOp
+from .world_common import TAU, noise_dft_plans, synthesis_response_plans
 
 
 _PHASE_BITS = 22      # f32 path: TAU = 2^22 int32 units (wraps mod 2^32)
@@ -115,13 +115,8 @@ class WorldSynthesis(BaseNonFunctionalOp):
             self.noise_length = min(fft_length, -(-bound // 128) * 128)
 
         self.ramp = jnp.arange(fft_length)
-
-        # GetDCRemover()
-        r = np.arange(1, fft_length // 2 + 1)
-        dc = 0.5 - 0.5 * np.cos(TAU / (1 + fft_length) * r)
-        dc = dc / (2 * np.sum(dc))
-        self.dc_remover = to_device_array(
-            np.concatenate([dc, dc[::-1]]), dtype)
+        # The DC remover (GetDCRemover()) is folded into the static
+        # response plan — see world_common.synthesis_response_plans.
 
     def _slot_noise(self, time_index: jnp.ndarray, span: int,
                     batch_offset, length: int, dtype) -> jnp.ndarray:
@@ -147,7 +142,6 @@ class WorldSynthesis(BaseNonFunctionalOp):
         masked by slot validity — the sharding-independent core of the
         synthesis (reference: world_synth.py:251-295)."""
         L = self.fft_length
-        H = L // 2
         D = env.shape[-1]
 
         # GetNoiseSpectrum() — noise is keyed per slot by the pulse's
@@ -155,7 +149,8 @@ class WorldSynthesis(BaseNonFunctionalOp):
         # sharding of the synthesis reproduces the identical stream
         # (the reference consumes one sequential randn stream, which
         # would make sharded and unsharded outputs diverge).  Only
-        # noise_length samples are drawn (see __init__); rfft zero-pads.
+        # noise_length samples are drawn (see __init__); the real-DFT
+        # matmul plan zero-pads to L implicitly.
         Ln = self.noise_length
         noise = self._slot_noise(time_index_global, span=span,
                                  batch_offset=batch_offset,
@@ -165,49 +160,44 @@ class WorldSynthesis(BaseNonFunctionalOp):
         avg = jnp.sum(noise, axis=-1, keepdims=True) / jnp.where(
             noise_size == 0, 1, noise_size)
         noise = (noise - avg) * mask
-        noise_spectrum = jnp.fft.rfft(noise, n=L)
+        Cn, Sn = noise_dft_plans(noise.shape[-1], L)
+        Cn = jnp.asarray(Cn, noise.dtype)
+        Sn = jnp.asarray(Sn, noise.dtype)
+        noise_spectrum = (
+            jnp.matmul(noise, Cn, precision=jax.lax.Precision.HIGH),
+            jnp.matmul(noise, Sn, precision=jax.lax.Precision.HIGH))
 
-        # GetPeriodicResponse() + GetAperiodicResponse(): both are
-        # minimum-phase spectra of a weighted envelope followed by one
-        # inverse transform (the reference runs them as two serial
-        # hffts, world_synth.py:251-295).  Here the whole construction
-        # is three static matmuls (world_common.minimum_phase_plans):
+        # GetPeriodicResponse() + GetAperiodicResponse() + DC removal +
+        # the vuv/noise_size/valid blend: everything after the Hilbert
+        # angle is linear in the four spectra, so it all folds into ONE
+        # static (4K, L) plan (world_common.synthesis_response_plans) —
         # magnitude = exp(u) is free, angle = u @ H (discrete Hilbert),
-        # and the inverse transform carries the fftshift / * L scale in
-        # its plan columns — no FFTs, no complex arithmetic.
+        # and a single MXU matmul emits the finished masked response.
+        # The reference runs this as two serial hffts plus three
+        # elementwise passes (world_synth.py:251-314).
         weight_p = 1 - apr
         weight_a = jnp.where(0 < vuv, apr, 1.0)
-        Hm, IRe, IIm = minimum_phase_plans(L)
+        Hm, Pfold = synthesis_response_plans(L)
         dt = env.dtype
-        Hm, IRe, IIm = (jnp.asarray(Hm, dt), jnp.asarray(IRe, dt),
-                        jnp.asarray(IIm, dt))
+        Hm, Pfold = jnp.asarray(Hm, dt), jnp.asarray(Pfold, dt)
         prec = jax.lax.Precision.HIGH
         u = 0.5 * jnp.log(jnp.stack((weight_p, weight_a)) * env)
         ang = jnp.matmul(u, Hm, precision=prec)
         mag = jnp.exp(u)
         coeff = TAU * self.sample_rate / L * time_shift
         th_p = ang[0] - self.ramp[:D] * coeff[..., None]
-        re_p = mag[0] * jnp.cos(th_p)
-        im_p = mag[0] * jnp.sin(th_p)
+        s_p = ((0.5 < vuv) * jnp.sqrt(noise_size)
+               * valid[..., None] / L).astype(dt)
+        s_a = valid[..., None].astype(dt) / L
+        re_p = mag[0] * jnp.cos(th_p) * s_p
+        im_p = mag[0] * jnp.sin(th_p) * s_p
         re_a = mag[1] * jnp.cos(ang[1])
         im_a = mag[1] * jnp.sin(ang[1])
-        nre = jnp.real(noise_spectrum).astype(dt)
-        nim = jnp.imag(noise_spectrum).astype(dt)
-        re_a, im_a = re_a * nre - im_a * nim, re_a * nim + im_a * nre
-        periodic = (jnp.matmul(re_p, IRe, precision=prec)
-                    + jnp.matmul(im_p, IIm, precision=prec))
-        aperiodic = (jnp.matmul(re_a, IRe, precision=prec)
-                     + jnp.matmul(im_a, IIm, precision=prec))
-
-        # RemoveDCComponent()
-        dc_component = jnp.sum(periodic[..., H:], axis=-1, keepdims=True)
-        dd = -dc_component * self.dc_remover
-        periodic = jnp.concatenate(
-            (dd[..., :H], periodic[..., H:] + dd[..., H:]), axis=-1)
-        periodic = periodic * (0.5 < vuv)
-
-        response = (periodic * jnp.sqrt(noise_size) + aperiodic) / L
-        return response * valid[..., None]
+        nre, nim = noise_spectrum
+        re_a, im_a = ((re_a * nre - im_a * nim) * s_a,
+                      (re_a * nim + im_a * nre) * s_a)
+        X = jnp.concatenate([re_p, im_p, re_a, im_a], axis=-1)
+        return jnp.matmul(X, Pfold, precision=prec)
 
     def __call__(self, f0, ap, sp, out_length: int | None = None):
         one_d = f0.ndim == 1
@@ -228,19 +218,21 @@ class WorldSynthesis(BaseNonFunctionalOp):
         f_min = self.sample_rate / L + 1
         coarse_f0 = jax.lax.stop_gradient(jnp.where(f0 < f_min, 0.0, f0))
         coarse_vuv = (0 < coarse_f0).astype(coarse_f0.dtype)
-        time_axis = (jnp.arange(T, dtype=f0.dtype)
-                     / self.sample_rate)[None, :].repeat(B, 0)
         # Frame-rate -> sample-rate upsampling on the uniform frame grid:
-        # static-index lerp (constant extrapolation past the last frame),
-        # equal to the reference's interp1 but with trace-time-constant
-        # gather indices (per-element dynamic gathers scalarize on TPU).
-        t = np.arange(T)
-        i0 = np.minimum(t // P, N - 1)
-        i1 = np.minimum(i0 + 1, N - 1)
-        wt = jnp.asarray(((t % P) / P).astype(np.float64), f0.dtype)
+        # because the sample->frame map is t//P, the two lerp endpoints
+        # are a P-fold repeat of the frame track and of its shift-by-one
+        # (edge-extended) — pure broadcast/reshape, no gathers (even
+        # static-index gathers scalarize to ~B*T element fetches on
+        # TPU, ~0.5 ms at speech scale).  Equal to the reference's
+        # interp1 with constant extrapolation past the last frame.
+        wt = jnp.asarray((np.arange(P) / P)[None, :], f0.dtype)  # (1, P)
 
         def upsample(c):
-            return c[..., i0] * (1 - wt) + c[..., i1] * wt
+            lo = c[..., :, None]                              # (B, N, 1)
+            hi = jnp.concatenate([c[..., 1:], c[..., -1:]],
+                                 axis=-1)[..., :, None]
+            out = lo * (1 - wt) + hi * wt                     # (B, N, P)
+            return out.reshape(*c.shape[:-1], N * P)
 
         interp_f0 = upsample(coarse_f0)
         interp_vuv = upsample(coarse_vuv) > 0.5
@@ -267,15 +259,18 @@ class WorldSynthesis(BaseNonFunctionalOp):
         min_period = max(int(self.sample_rate / self.f0_ceil), 1)
         max_pulses = T // min_period + 2
 
-        ordinal = jnp.cumsum(pulse_mask.astype(jnp.int32), axis=-1) - 1
-        slot = jnp.where(pulse_mask, ordinal, max_pulses)  # overflow slot
-        t_idx_src = jnp.broadcast_to(jnp.arange(T - 1), pulse_mask.shape)
-        time_index = jnp.zeros((B, max_pulses + 1), jnp.int32)
-        time_index = time_index.at[
-            jnp.arange(B)[:, None], slot].set(t_idx_src.astype(jnp.int32),
-                                              mode="drop")
-        time_index = time_index[:, :max_pulses]           # (B, Pmax)
-        n_pulses = jnp.sum(pulse_mask, axis=-1)           # (B,)
+        # Slot s holds the s-th pulse's time index: the first t whose
+        # running pulse count reaches s+1.  A vmapped binary search over
+        # the (nondecreasing) mask cumsum finds all Pmax slots in
+        # log2(T) batched gathers — a scatter formulation (ordinal
+        # scatter of every sample's index) serializes ~B*T scalar
+        # writes on TPU and costs ~1 ms at speech scale.
+        csum = jnp.cumsum(pulse_mask.astype(jnp.int32), axis=-1)
+        wanted = jnp.arange(1, max_pulses + 1, dtype=jnp.int32)
+        time_index = jax.vmap(
+            lambda c: jnp.searchsorted(c, wanted, side="left"))(
+                csum).astype(jnp.int32)                   # (B, Pmax)
+        n_pulses = csum[:, -1]                            # (B,)
         valid = jnp.arange(max_pulses)[None, :] < n_pulses[:, None]
         # Invalid slots repeat the last valid pulse index so the trailing
         # diff (noise_size of the final pulse) is 0, as in the reference
@@ -285,20 +280,45 @@ class WorldSynthesis(BaseNonFunctionalOp):
         time_index = jnp.where(valid, time_index, last_valid)
 
         bidx = jnp.arange(B)[:, None]
-        pulse_locations = jnp.take_along_axis(time_axis, time_index, -1)
-        vuv = jnp.take_along_axis(interp_vuv, time_index, -1)[..., None]
-        y1 = jnp.take_along_axis(wrap_phase, time_index, -1) - TAU
-        y2 = jnp.take_along_axis(wrap_phase, time_index + 1, -1)
-        time_shift = -y1 / (y2 - y1) / self.sample_rate   # (B, Pmax)
 
-        # GetSpectralEnvelope() / GetAperiodicRatio()
-        frame = pulse_locations * (self.sample_rate / P)
+        # Fractional pulse-time shift.  Per-element take_along_axis on
+        # the (B, T) grid scalarizes on TPU (~0.15 ms per gather), so
+        # the two phase reads collapse into ONE vectorized row gather:
+        # (wrap_phase, dphase) pairs are interleaved into 128-lane rows
+        # and the lane is selected by a one-hot reduce.  The identities
+        # y1 = wrap[t]-TAU and y2-y1 = TAU-dphase[t] (a pulse is a
+        # wrap, so the increment is TAU minus the wrapped jump) put
+        # both reads at the same index t.
+        half = 64
+        pair = jnp.stack([wrap_phase[..., :-1], dphase], axis=-1)
+        Tp = -(-(T - 1) // half) * half
+        pair = jnp.pad(pair, ((0, 0), (0, Tp - (T - 1)), (0, 0)))
+        pair = pair.reshape(B, Tp // half, 2 * half)
+        rows = jnp.take_along_axis(
+            pair, (time_index // half)[..., None], axis=1)  # (B,Pmax,128)
+        lane = 2 * (time_index % half)[..., None]
+        sel = jnp.arange(2 * half)[None, None, :]
+        wrap_ti = jnp.sum(rows * (sel == lane), axis=-1)
+        dphase_ti = jnp.sum(rows * (sel == lane + 1), axis=-1)
+        time_shift = ((TAU - wrap_ti) / (TAU - dphase_ti)
+                      / self.sample_rate)                  # (B, Pmax)
+
+        # GetSpectralEnvelope() / GetAperiodicRatio() — one fused gather
+        # over the concatenated (sp | ap | vuv) rows instead of four
+        # D-wide gathers plus a scalarized vuv gather (per-row gather
+        # overhead dominates at D=K; the vuv lerp at the pulse's frame
+        # coordinate equals the sample-rate upsample's value there).
+        frame = time_index.astype(f0.dtype) / P
         f_floor = jnp.clip(jnp.floor(frame).astype(jnp.int32), max=N - 1)
         f_ceil = jnp.clip(jnp.ceil(frame).astype(jnp.int32), max=N - 1)
         w_hi = (frame - f_floor)[..., None]
         w_lo = 1 - w_hi
-        env = w_lo * sp[bidx, f_floor] + w_hi * sp[bidx, f_ceil]
-        apr = (w_lo * ap[bidx, f_floor] + w_hi * ap[bidx, f_ceil]) ** 2
+        spap = jnp.concatenate(
+            [sp, ap, coarse_vuv[..., None]], axis=-1)      # (B, N, 2D+1)
+        g = w_lo * spap[bidx, f_floor] + w_hi * spap[bidx, f_ceil]
+        env = g[..., :D]
+        apr = g[..., D:2 * D] ** 2
+        vuv = g[..., 2 * D:] > 0.5                         # (B, Pmax, 1)
 
         noise_size = jnp.diff(time_index, axis=-1,
                               append=time_index[:, -1:])

@@ -189,11 +189,17 @@ class ShardedWorldVocoder:
         coarse_vuv = (0 < coarse_f0).astype(coarse_f0.dtype)
         cf0 = exchange_halo(coarse_f0, 0, 1, self.tp, pad_mode="edge")
         cvuv = exchange_halo(coarse_vuv, 0, 1, self.tp, pad_mode="edge")
-        t = np.arange(T_l)
-        i0, i1 = t // P_, t // P_ + 1
-        wt = jnp.asarray(((t % P_) / P_).astype(np.float64), f0_blk.dtype)
-        interp_f0 = cf0[..., i0] * (1 - wt) + cf0[..., i1] * wt
-        interp_vuv = (cvuv[..., i0] * (1 - wt) + cvuv[..., i1] * wt) > 0.5
+        # P-fold-repeat lerp (no gathers — they scalarize on TPU);
+        # endpoints are the halo-extended frame track and its shift
+        wt = jnp.asarray((np.arange(P_) / P_)[None, :], f0_blk.dtype)
+
+        def upsample(c):
+            out = (c[..., :N_l, None] * (1 - wt)
+                   + c[..., 1:N_l + 1, None] * wt)        # (B, N_l, P)
+            return out.reshape(*c.shape[:-1], T_l)
+
+        interp_f0 = upsample(cf0)
+        interp_vuv = upsample(cvuv) > 0.5
         interp_f0 = jnp.where(interp_vuv, interp_f0, synth.default_f0)
 
         # global phase integral in fixed point (ops/world_synth.py):
@@ -214,14 +220,14 @@ class ShardedWorldVocoder:
         # local slot table (same construction as the unsharded op)
         min_period = max(int(sr / synth.f0_ceil), 1)
         max_p = T_l // min_period + 2
-        ordinal = jnp.cumsum(pulse_mask.astype(jnp.int32), axis=-1) - 1
-        slot = jnp.where(pulse_mask, ordinal, max_p)
-        t_src = jnp.broadcast_to(jnp.arange(T_l, dtype=jnp.int32),
-                                 pulse_mask.shape)
-        time_index = jnp.zeros((B, max_p + 1), jnp.int32)
-        time_index = time_index.at[
-            jnp.arange(B)[:, None], slot].set(t_src, mode="drop")[:, :max_p]
-        n_pulses = jnp.sum(pulse_mask, axis=-1)
+        # vmapped binary search over the mask cumsum, as in the
+        # unsharded op (scatter serializes on TPU)
+        csum = jnp.cumsum(pulse_mask.astype(jnp.int32), axis=-1)
+        wanted = jnp.arange(1, max_p + 1, dtype=jnp.int32)
+        time_index = jax.vmap(
+            lambda c: jnp.searchsorted(c, wanted, side="left"))(
+                csum).astype(jnp.int32)                 # (B, max_p)
+        n_pulses = csum[:, -1]
         valid = jnp.arange(max_p)[None, :] < n_pulses[:, None]
         last_valid = jnp.max(jnp.where(valid, time_index, 0), axis=-1,
                              keepdims=True)

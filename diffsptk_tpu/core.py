@@ -136,6 +136,15 @@ class BaseOp:
     def __init__(self, *args, **kwargs):  # pragma: no cover - overridden
         raise NotImplementedError
 
+    def __init_subclass__(cls, **kwargs):
+        # Ops that override __call__ (WORLD chain, CQT, learlikes)
+        # bypass apply(); pin their matmul precision at the override
+        # itself so every library entry point gets the same full-f32
+        # default (see full_precision).
+        super().__init_subclass__(**kwargs)
+        if "__call__" in cls.__dict__:
+            cls.__call__ = full_precision(cls.__dict__["__call__"])
+
     # -- construction ----------------------------------------------------
     def _setup(self, design: Design, learnable: bool | list[str] = False,
                dtype=None) -> None:
@@ -218,6 +227,13 @@ class BaseLearnerOp:
     """Base for data-driven learners (GMM/LBG/PCA/ICA/NMF); they expose
     ``fit``/``transform`` instead of the design/forward protocol
     (reference: diffsptk/modules/base.py:104-109)."""
+
+    def __init_subclass__(cls, **kwargs):
+        # Same full-f32 pinning as BaseOp, at the learner entry points.
+        super().__init_subclass__(**kwargs)
+        for name in ("__call__", "transform"):
+            if name in cls.__dict__:
+                setattr(cls, name, full_precision(cls.__dict__[name]))
 
     def transform(self, *args, **kwargs):
         raise NotImplementedError

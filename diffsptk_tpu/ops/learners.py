@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import BaseLearnerOp, default_dtype, full_precision
+from ..core import BaseLearnerOp, default_dtype
 from .vq import VectorQuantization
 
 
@@ -767,13 +767,3 @@ class NonnegativeMatrixFactorization(BaseLearnerOp):
             U = U * ((y2 @ self.H.T) / (y1 @ self.H.T)) ** self.phi
         return U
 
-
-# Learner entry points assemble covariance/codebook statistics by matmul;
-# pin them to full-f32 matmul precision the same way BaseOp.apply is
-# (core.full_precision) — scoped to library calls, not process-global.
-for _cls in (GaussianMixtureModeling, LindeBuzoGrayAlgorithm,
-             PrincipalComponentAnalysis, IndependentComponentAnalysis,
-             NonnegativeMatrixFactorization):
-    _cls.__call__ = full_precision(_cls.__call__)
-    _cls.transform = full_precision(_cls.transform)
-del _cls

@@ -228,6 +228,7 @@ class WorldSynthesis(BaseNonFunctionalOp):
         wt = jnp.asarray((np.arange(P) / P)[None, :], f0.dtype)  # (1, P)
 
         def upsample(c):
+            c = c[..., :N]              # tolerate an over-long f0 track
             lo = c[..., :, None]                              # (B, N, 1)
             hi = jnp.concatenate([c[..., 1:], c[..., -1:]],
                                  axis=-1)[..., :, None]
@@ -314,7 +315,7 @@ class WorldSynthesis(BaseNonFunctionalOp):
         w_hi = (frame - f_floor)[..., None]
         w_lo = 1 - w_hi
         spap = jnp.concatenate(
-            [sp, ap, coarse_vuv[..., None]], axis=-1)      # (B, N, 2D+1)
+            [sp, ap, coarse_vuv[..., :N, None]], axis=-1)  # (B, N, 2D+1)
         g = w_lo * spap[bidx, f_floor] + w_hi * spap[bidx, f_ceil]
         env = g[..., :D]
         apr = g[..., D:2 * D] ** 2

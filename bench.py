@@ -95,10 +95,16 @@ def _bench_mcep_chain(dsp, xb):
     stage-by-stage XLA, fused Pallas) and reports the fastest."""
     from diffsptk_tpu.models.mcep_vocoder import MelCepstralVocoder
     best = None
-    for cascade in ("folded", "stages", "fused"):
+    # Precision candidates never drop below the shipped defaults'
+    # accuracy class: folded defaults to HIGH (bf16x3), fused to
+    # HIGHEST; "fused"+HIGH matches folded's accuracy at the fused
+    # kernel's bandwidth profile.
+    for cascade, prec in (("folded", None), ("stages", None),
+                          ("fused", None), ("fused", "HIGH")):
         voc = MelCepstralVocoder(frame_length=400, frame_period=80,
                                  fft_length=512, cep_order=24, alpha=0.42,
-                                 n_iter=10, cascade=cascade)
+                                 n_iter=10, cascade=cascade,
+                                 cascade_precision=prec)
         fn = jax.jit(voc.analysis_synthesis)
         try:
             dt = _timeit(fn, xb)

@@ -91,6 +91,46 @@ def cascade_plan(nfft: int, m: int, p: int, advance: int):
     return Ffwd, Ginv_re, Ginv_im, r0, n_blk
 
 
+def lane_aligned_nfft(min_nfft: int) -> int:
+    """Smallest even transform length >= ``min_nfft`` whose half-spectrum
+    K = nfft/2 + 1 is an exact multiple of the 128-lane MXU tile.
+
+    The folded cascade computes a *linear* convolution of the (M+1)-tap
+    stage filter with a (2P+M)-sample context; any nfft >= 2P+M+1 is
+    alias-free at the slots the blend reads, so the transform length is
+    a free parameter.  The canonical power of two (e.g. 512 -> K=257)
+    wastes a whole 128-lane tile on one row; nfft = 256k - 2 gives
+    K = 128k exactly (e.g. 510 -> K=256, 254 -> K=128), cutting the
+    padded MXU work by ~1.3-1.5x at the flagship geometry.
+    """
+    k = -(-(min_nfft + 2) // 256)
+    return 256 * k - 2
+
+
+@functools.lru_cache(maxsize=None)
+def _coef_spectrum_plan(nfft: int, n_taps: int):
+    k = np.arange(nfft // 2 + 1)
+    t = np.arange(n_taps)
+    ang = 2.0 * np.pi * np.outer(t, k) / nfft
+    return np.cos(ang), -np.sin(ang)        # (n_taps, K) float64
+
+
+def coef_spectrum(c: jnp.ndarray, nfft: int):
+    """rfft(c, nfft) of the (..., M+1) stage coefficients as one small
+    DFT matmul: re/im (..., K) real pair.
+
+    Works for any transform length (the MXU Cooley-Tukey path needs a
+    power of two) and avoids complex intermediates.  Cost is trivial
+    next to the cascade (one (N, M+1) @ (M+1, K) pair per call), so the
+    matmuls stay at HIGHEST precision.
+    """
+    Cre, Cim = _coef_spectrum_plan(nfft, c.shape[-1])
+    dt = c.dtype
+    cre = jnp.matmul(c, jnp.asarray(Cre, dt), precision=Precision.HIGHEST)
+    cim = jnp.matmul(c, jnp.asarray(Cim, dt), precision=Precision.HIGHEST)
+    return cre, cim
+
+
 def _stage(xq, cre, cim, Ffwd, Ginv_re, Ginv_im, r0, n_blk, P, K,
            precision):
     """One folded MLSA stage on the (..., N, P) frame grid."""
@@ -183,8 +223,6 @@ def taylor_cascade_folded(x: jnp.ndarray, c: jnp.ndarray,
     x (..., T) float; c (..., N, M+1) stage coefficients (shared across
     stages); weights/a (S+1,) Taylor stage weights.
     """
-    from . import mxu_fft
-
     M = c.shape[-1] - 1
     K = nfft // 2 + 1
     T = x.shape[-1]
@@ -194,9 +232,9 @@ def taylor_cascade_folded(x: jnp.ndarray, c: jnp.ndarray,
     Ginv_re = jnp.asarray(Ginv_re, x.dtype)
     Ginv_im = jnp.asarray(Ginv_im, x.dtype)
 
-    cspec = mxu_fft.rfft(c, nfft)
-    cre = jnp.real(cspec).astype(x.dtype)
-    cim = jnp.imag(cspec).astype(x.dtype)
+    cre, cim = coef_spectrum(c, nfft)
+    cre = cre.astype(x.dtype)
+    cim = cim.astype(x.dtype)
 
     xq = x.reshape(x.shape[:-1] + (N, P))
     y = a[0] * xq

@@ -163,11 +163,20 @@ def taylor_cascade(x, c, weights, a, P, advance, nfft,
                                precision)[0]
 
 
+def _use_fused(dtype) -> bool:
+    if dtype != jnp.float32:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _taylor_cascade_fwd(x, c, weights, a, P, advance, nfft,
                         precision="HIGHEST"):
-    from . import mxu_fft
+    from .mlsa_cascade import coef_spectrum
 
-    if mxu_fft.use_mxu(x.dtype, nfft):
+    if _use_fused(x.dtype):
         M = c.shape[-1] - 1
         K = nfft // 2 + 1
         Kp = _pad128(K)
@@ -177,10 +186,10 @@ def _taylor_cascade_fwd(x, c, weights, a, P, advance, nfft,
         cb = jnp.broadcast_to(
             c, x.shape[:-1] + c.shape[-2:]).reshape(
                 -1, c.shape[-2], c.shape[-1])
-        cspec = mxu_fft.rfft(cb, nfft)
+        cre, cim = coef_spectrum(cb, nfft)
         pad = [(0, 0), (0, 0), (0, Kp - K)]
-        cre = jnp.pad(jnp.real(cspec).astype(jnp.float32), pad)
-        cim = jnp.pad(jnp.imag(cspec).astype(jnp.float32), pad)
+        cre = jnp.pad(cre.astype(jnp.float32), pad)
+        cim = jnp.pad(cim.astype(jnp.float32), pad)
         y = _cascade_pallas(xb, cre, cim, weights, a, P, M, advance, nfft,
                             precision=precision)
         y = y.reshape(x.shape[:-1] + (T,))

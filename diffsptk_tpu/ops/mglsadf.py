@@ -162,20 +162,29 @@ class MultiStageFIRFilter:
             nfft = _next_pow2(2 * P + M + 1)
             advance = self.zerodf.padding[1]
             if self.cascade == "fused":
+                from ..kernels.mlsa_cascade import lane_aligned_nfft
                 from ..kernels.pallas_mlsa import taylor_cascade
                 kw = ({"precision": self.cascade_precision}
                       if self.cascade_precision else {})
                 y = taylor_cascade(x, c, self.weights, a, P, advance,
-                                   nfft, **kw)
+                                   lane_aligned_nfft(2 * P + M + 1), **kw)
             elif self.cascade == "folded":
                 import jax as _jax
 
-                from ..kernels.mlsa_cascade import taylor_cascade_folded
+                from ..kernels.mlsa_cascade import (lane_aligned_nfft,
+                                                    taylor_cascade_folded)
                 kw = ({"precision": getattr(_jax.lax.Precision,
                                             self.cascade_precision)}
                       if self.cascade_precision else {})
+                # The folded plans compute a linear convolution, so the
+                # transform length only has to clear the 2P+M+1 alias
+                # floor — pick the lane-tile-exact length (K = 128k)
+                # instead of the next power of two (K = 2^j + 1, which
+                # wastes a whole MXU lane tile on one spectrum row).
                 y = taylor_cascade_folded(x, c, self.weights, a, P,
-                                          advance, nfft, **kw)
+                                          advance,
+                                          lane_aligned_nfft(2 * P + M + 1),
+                                          **kw)
             else:
                 from ..kernels import mxu_fft
                 from .zerodf import zerodf_fft

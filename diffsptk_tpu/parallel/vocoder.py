@@ -26,7 +26,6 @@ from ..ops.mcep import MelCepstralAnalysis
 from ..ops.mgc2mgc import MelGeneralizedCepstrumToMelGeneralizedCepstrum
 from ..ops.mglsadf import _exp_taylor_weights
 from ..ops.stft import ShortTimeFourierTransform
-from ..ops.zerodf import _next_pow2
 from ..utils.linalg import remove_gain
 from .halo import exchange_halo
 
@@ -87,7 +86,6 @@ class ShardedMelCepstralVocoder:
         shard boundaries via per-stage halo exchange."""
         Pd = self.frame_period
         M = self.cep_order_mlsa
-        nfft = _next_pow2(2 * Pd + M + 1)
         n_local = mc_blk.shape[-2]
 
         c = self.mgc2c(mc_blk)
@@ -97,11 +95,13 @@ class ShardedMelCepstralVocoder:
         # first filter.
         c_ext = exchange_halo(c, 0, 1, self.tp, axis=-2, pad_mode="edge")
         c0_ext = exchange_halo(c0, 0, 1, self.tp, axis=-2, pad_mode="edge")
-        from ..kernels import mxu_fft
-        from ..kernels.mlsa_cascade import stage_apply, stage_plans
-        c_spec = mxu_fft.rfft(c_ext, nfft)     # (..., Nl+1, nfft/2+1)
-        cre = jnp.real(c_spec).astype(x_blk.dtype)
-        cim = jnp.imag(c_spec).astype(x_blk.dtype)
+        from ..kernels.mlsa_cascade import (coef_spectrum,
+                                            lane_aligned_nfft,
+                                            stage_apply, stage_plans)
+        nfft = lane_aligned_nfft(2 * Pd + M + 1)
+        cre, cim = coef_spectrum(c_ext, nfft)  # (..., Nl+1, nfft/2+1)
+        cre = cre.astype(x_blk.dtype)
+        cim = cim.astype(x_blk.dtype)
 
         lam = jnp.asarray(np.arange(Pd) / Pd, x_blk.dtype)
         # folded-plan stage (kernels/mlsa_cascade.py): the halo moves to
@@ -145,7 +145,6 @@ class ShardedMelCepstralVocoder:
         Pd = self.frame_period
         M = self.cep_order_mlsa
         S = self.taylor_order
-        nfft = _next_pow2(2 * Pd + M + 1)
         n_local = mc_blk.shape[-2]
         ntp = self.mesh.shape[self.tp]
         T_l = x_blk.shape[-1]
@@ -158,11 +157,13 @@ class ShardedMelCepstralVocoder:
         c_ext = exchange_halo(c, hl_f, hr_f + 1, self.tp, axis=-2,
                               pad_mode="edge")
         c0_ext = exchange_halo(c0, 0, 1, self.tp, axis=-2, pad_mode="edge")
-        from ..kernels import mxu_fft
-        from ..kernels.mlsa_cascade import stage_apply, stage_plans
-        c_spec = mxu_fft.rfft(c_ext, nfft)     # (..., n_ext+1, K)
-        cre = jnp.real(c_spec).astype(x_blk.dtype)
-        cim = jnp.imag(c_spec).astype(x_blk.dtype)
+        from ..kernels.mlsa_cascade import (coef_spectrum,
+                                            lane_aligned_nfft,
+                                            stage_apply, stage_plans)
+        nfft = lane_aligned_nfft(2 * Pd + M + 1)
+        cre, cim = coef_spectrum(c_ext, nfft)  # (..., n_ext+1, K)
+        cre = cre.astype(x_blk.dtype)
+        cim = cim.astype(x_blk.dtype)
 
         x_ext = exchange_halo(x_blk, hl, hr, self.tp)
         n_ext = n_local + hl_f + hr_f

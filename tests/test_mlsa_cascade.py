@@ -49,6 +49,34 @@ def test_folded_matches_stages(B, N, P, M, S, advance):
                                atol=1e-5 * float(np.abs(want).max()))
 
 
+def test_lane_aligned_nfft_matches_pow2():
+    """The folded cascade computes a linear convolution, so any
+    transform length >= 2P+M+1 gives the same output; the lane-aligned
+    length (K = 128k, e.g. 510 for the flagship geometry) must match
+    the power-of-two plan."""
+    from diffsptk_tpu.kernels.mlsa_cascade import lane_aligned_nfft
+
+    assert lane_aligned_nfft(360) == 510      # flagship: K = 256
+    assert lane_aligned_nfft(185) == 254      # K = 128
+    assert lane_aligned_nfft(510) == 510
+    assert lane_aligned_nfft(511) == 766
+
+    B, N, P, M, S, advance = 2, 8, 80, 199, 4, 0
+    T = N * P
+    x = jnp.asarray(RNG.standard_normal((B, T)).astype(np.float32))
+    c = jnp.asarray(
+        (RNG.standard_normal((B, N, M + 1))
+         * (0.8 ** np.arange(M + 1)) * 0.3).astype(np.float32))
+    weights = jnp.asarray(
+        (1.0 / np.cumprod([1.0] + list(range(1, S + 1)))).astype(np.float32))
+    a = jnp.asarray(np.ones(S + 1, np.float32))
+    want = np.asarray(_stages_reference(x, c, weights, a, P, advance, 512))
+    got = np.asarray(taylor_cascade_folded(x, c, weights, a, P, advance,
+                                           lane_aligned_nfft(2 * P + M + 1)))
+    np.testing.assert_allclose(got, want, rtol=1e-5,
+                               atol=1e-5 * float(np.abs(want).max()))
+
+
 def test_folded_float64_exact():
     """float64 run keeps float64 plan constants."""
     B, N, P, M, S, advance = 1, 5, 16, 30, 3, 0

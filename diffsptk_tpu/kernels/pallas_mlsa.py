@@ -72,6 +72,100 @@ def _fused_plan(nfft: int, m: int, p: int, advance: int):
     return F128, pad_g(Ginv_re), pad_g(Ginv_im), r0, n_blk, Kp
 
 
+def _split_hi_lo(a: np.ndarray):
+    """Exact f32 = hi + lo split with both halves bf16-representable."""
+    hi = a.astype(np.float32).astype(jnp.bfloat16)
+    lo = (a.astype(np.float32) - np.asarray(hi, np.float32)) \
+        .astype(jnp.bfloat16)
+    return np.asarray(hi), np.asarray(lo)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_plan_b3(nfft: int, m: int, p: int, advance: int):
+    """bf16x3 variants of the lane-padded plans.
+
+    Mosaic supports only DEFAULT/HIGHEST dot precisions in-kernel, so
+    HIGH (bf16x3: a ~= ah+al, b ~= bh+bl, a@b ~= ah@bh + ah@bl + al@bh)
+    is expressed structurally — each operand pair is concatenated along
+    the contraction axis so the three products ride ONE single-pass
+    bf16 MXU dot at 3x contraction depth:
+
+      F_b3 (n_blk*3*128, 2Kp): per r-block rows [F_hi; F_lo; F_hi],
+          paired in-kernel with lanes [xh, xh, xl].
+      G_b3 (6*Kp, 3*128): rows [Gre_hi; Gre_lo; Gre_hi;
+          Gim_hi; Gim_lo; Gim_hi], paired with
+          [Yre_h, Yre_h, Yre_l, Yim_h, Yim_h, Yim_l].
+    """
+    F128, Gre, Gim, r0, n_blk, Kp = _fused_plan(nfft, m, p, advance)
+    F128 = F128.reshape(n_blk, LANE, 2 * Kp)
+    blocks = []
+    for r in range(n_blk):
+        fh, fl = _split_hi_lo(F128[r])
+        blocks += [fh, fl, fh]
+    F_b3 = np.concatenate(blocks, axis=0)          # (n_blk*3*128, 2Kp)
+    gre_h, gre_l = _split_hi_lo(Gre)
+    gim_h, gim_l = _split_hi_lo(Gim)
+    G_b3 = np.concatenate([gre_h, gre_l, gre_h,
+                           gim_h, gim_l, gim_h], axis=0)   # (6Kp, 384)
+    return F_b3, G_b3, r0, n_blk, Kp
+
+
+def _cascade_kernel_b3(wa_ref, x_ref, cre_ref, cim_ref, f_ref, g_ref,
+                       out_ref, xq_ref, *, n_frames, P, r0, n_blk, Kp,
+                       n_stages):
+    """bf16x3 (HIGH) cascade: two single-pass bf16 dots per stage."""
+    N = n_frames
+    f32, bf16 = jnp.float32, jnp.bfloat16
+
+    xq_ref[:] = jnp.zeros_like(xq_ref)
+    xq_ref[r0:r0 + N, :P] = x_ref[0]
+    out_ref[:] = wa_ref[1, 0] * x_ref[:]
+
+    cre = cre_ref[0]
+    cim = cim_ref[0]
+
+    def stage(s, _):
+        # Mosaic rejects concats wider than ~3 lane tiles inside the
+        # fori_loop body, so each bf16x3 triple rides its own 3-piece
+        # concat (384-lane contraction) and the dots accumulate.
+        xq = xq_ref[:]
+        xh = xq.astype(bf16)
+        xl = (xq - xh.astype(f32)).astype(bf16)
+        X = jnp.zeros((N, 2 * Kp), f32)
+        for r in range(n_blk):
+            cat = jnp.concatenate(
+                [xh[r:r + N, :], xh[r:r + N, :], xl[r:r + N, :]], axis=1)
+            X = X + jnp.dot(cat, f_ref[r * 3 * LANE:(r + 1) * 3 * LANE, :],
+                            preferred_element_type=f32,
+                            precision=jax.lax.Precision.DEFAULT)
+        Xre, Xim = X[:, :Kp], X[:, Kp:]
+        Yre = Xre * cre - Xim * cim
+        Yim = Xre * cim + Xim * cre
+        yre_h = Yre.astype(bf16)
+        yre_l = (Yre - yre_h.astype(f32)).astype(bf16)
+        yim_h = Yim.astype(bf16)
+        yim_l = (Yim - yim_h.astype(f32)).astype(bf16)
+        ycat_re = jnp.concatenate([yre_h, yre_h, yre_l], axis=1)
+        ycat_im = jnp.concatenate([yim_h, yim_h, yim_l], axis=1)
+        V = (jnp.dot(ycat_re, g_ref[:3 * Kp, :],
+                     preferred_element_type=f32,
+                     precision=jax.lax.Precision.DEFAULT)
+             + jnp.dot(ycat_im, g_ref[3 * Kp:, :],
+                       preferred_element_type=f32,
+                       precision=jax.lax.Precision.DEFAULT))
+        w_s = wa_ref[0, s]
+        xq_ref[r0:r0 + N, :] = V[:, :LANE] * w_s
+        xq_ref[r0:r0 + N - 1, :] = (xq_ref[r0:r0 + N - 1, :]
+                                    + V[1:N, LANE:2 * LANE] * w_s)
+        xq_ref[r0 + N - 1:r0 + N, :] = (
+            xq_ref[r0 + N - 1:r0 + N, :]
+            + V[N - 1:N, 2 * LANE:3 * LANE] * w_s)
+        out_ref[0] = out_ref[0] + wa_ref[1, s] * xq_ref[r0:r0 + N, :P]
+        return 0
+
+    jax.lax.fori_loop(1, n_stages + 1, stage, 0)
+
+
 def _cascade_kernel(wa_ref, x_ref, cre_ref, cim_ref, f_ref, gre_ref,
                     gim_ref, out_ref, xq_ref, *, n_frames, P, r0, n_blk,
                     Kp, n_stages, precision):
@@ -118,14 +212,31 @@ def _cascade_pallas(x, cspec_re, cspec_im, weights, a, P, M, advance,
     """x (B, N, P) f32, cspec re/im (B, N, Kp) -> y (B, N, P) f32."""
     B, N, _ = x.shape
     S = weights.shape[0] - 1
-    F128, Gre, Gim, r0, n_blk, Kp = _fused_plan(nfft, M, P, advance)
-    rows = r0 + N + n_blk
-    rows = ((rows + 7) // 8) * 8
     wa = jnp.stack([weights, a]).astype(jnp.float32)
 
-    kernel = functools.partial(
-        _cascade_kernel, n_frames=N, P=P, r0=r0, n_blk=n_blk, Kp=Kp,
-        n_stages=S, precision=precision)
+    if precision == "HIGH":
+        F_b3, G_b3, r0, n_blk, Kp = _fused_plan_b3(nfft, M, P, advance)
+        rows = ((r0 + N + n_blk + 7) // 8) * 8
+        kernel = functools.partial(
+            _cascade_kernel_b3, n_frames=N, P=P, r0=r0, n_blk=n_blk,
+            Kp=Kp, n_stages=S)
+        plan_specs = [
+            pl.BlockSpec((n_blk * 3 * LANE, 2 * Kp), lambda b: (0, 0)),
+            pl.BlockSpec((6 * Kp, 3 * LANE), lambda b: (0, 0)),
+        ]
+        plans = (F_b3, G_b3)
+    else:
+        F128, Gre, Gim, r0, n_blk, Kp = _fused_plan(nfft, M, P, advance)
+        rows = ((r0 + N + n_blk + 7) // 8) * 8
+        kernel = functools.partial(
+            _cascade_kernel, n_frames=N, P=P, r0=r0, n_blk=n_blk, Kp=Kp,
+            n_stages=S, precision=precision)
+        plan_specs = [
+            pl.BlockSpec((n_blk * LANE, 2 * Kp), lambda b: (0, 0)),
+            pl.BlockSpec((Kp, 3 * LANE), lambda b: (0, 0)),
+            pl.BlockSpec((Kp, 3 * LANE), lambda b: (0, 0)),
+        ]
+        plans = (F128, Gre, Gim)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -134,15 +245,13 @@ def _cascade_pallas(x, cspec_re, cspec_im, weights, a, P, M, advance,
             pl.BlockSpec((1, N, P), lambda b: (b, 0, 0)),     # x frames
             pl.BlockSpec((1, N, Kp), lambda b: (b, 0, 0)),    # cspec re
             pl.BlockSpec((1, N, Kp), lambda b: (b, 0, 0)),    # cspec im
-            pl.BlockSpec((n_blk * LANE, 2 * Kp), lambda b: (0, 0)),
-            pl.BlockSpec((Kp, 3 * LANE), lambda b: (0, 0)),
-            pl.BlockSpec((Kp, 3 * LANE), lambda b: (0, 0)),
+            *plan_specs,
         ],
         out_specs=pl.BlockSpec((1, N, P), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, P), jnp.float32),
         scratch_shapes=[pltpu.VMEM((rows, LANE), jnp.float32)],
         interpret=interpret,
-    )(wa, x, cspec_re, cspec_im, F128, Gre, Gim)
+    )(wa, x, cspec_re, cspec_im, *plans)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -154,10 +263,12 @@ def taylor_cascade(x, c, weights, a, P, advance, nfft,
     Forward runs the VMEM-resident Pallas kernel on TPU (XLA folded
     fallback elsewhere); backward differentiates the XLA formulation.
     ``precision`` sets the in-kernel dot precision: "HIGHEST" (f32
-    parity; default) or "DEFAULT" (bf16 multiplies, f32 accumulate —
-    ~4x faster and ~1e-3 relative error for a single synthesis pass;
-    NOT safe for inverse->forward round trips, where the bf16 error is
-    re-amplified by the forward filter).
+    parity via 6-pass dots; default), "HIGH" (bf16x3 expressed as
+    single-pass bf16 dots at 3x contraction depth — the same accuracy
+    class as the folded XLA path's default, ~2x the HIGHEST rate), or
+    "DEFAULT" (one bf16 pass, ~1e-3 relative error for a single
+    synthesis pass; NOT safe for inverse->forward round trips, where
+    the bf16 error is re-amplified by the forward filter).
     """
     return _taylor_cascade_fwd(x, c, weights, a, P, advance, nfft,
                                precision)[0]

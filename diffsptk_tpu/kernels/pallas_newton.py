@@ -79,35 +79,34 @@ def _newton_kernel(p_ref, q_ref, b_ref, x_ref, *, n):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def toephank_solve_pallas(p: jnp.ndarray, q: jnp.ndarray, b: jnp.ndarray,
-                          interpret: bool = False) -> jnp.ndarray:
-    """Solve (Toeplitz(p) + Hankel(q)) x = b, batched.
+def toephank_solve_lane_major(p_t: jnp.ndarray, q_t: jnp.ndarray,
+                              b_t: jnp.ndarray,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Solve (Toeplitz(p) + Hankel(q)) x = b with systems on lanes.
 
-    p: (..., n), q: (..., 2n-1), b: (..., n), all float32.
+    p_t: (n, B), q_t: (2n-1, B), b_t: (n, B) -> x_t (n, B), float32.
+    The lane-major layout is the kernel's native one; callers that keep
+    their whole pipeline lane-major (the mcep Newton loop) avoid the
+    four (B, n) <-> (n, B) relayouts per iteration of the row-major
+    wrapper.
     """
-    n = b.shape[-1]
-    if p.shape[-1] != n or q.shape[-1] != 2 * n - 1:
+    n, B = b_t.shape
+    if p_t.shape != (n, B) or q_t.shape != (2 * n - 1, B):
         raise ValueError(
-            "p must have n entries and q must have 2n-1 entries.")
-    batch_shape = b.shape[:-1]
-    B = int(np.prod(batch_shape)) if batch_shape else 1
-
-    p_t = jnp.moveaxis(p.reshape(-1, n), 0, -1)             # (n, B)
-    q_t = jnp.moveaxis(q.reshape(-1, 2 * n - 1), 0, -1)     # (2n-1, B)
-    b_t = jnp.moveaxis(b.reshape(-1, n), 0, -1)             # (n, B)
+            "p_t must be (n, B) and q_t (2n-1, B) with matching B.")
     Bp = -(-B // TILE) * TILE
     if Bp != B:
         # identity padding keeps rsqrt finite in the dead lanes
-        pad_p = jnp.zeros((n, Bp - B), p.dtype).at[0].set(1.0)
+        pad_p = jnp.zeros((n, Bp - B), p_t.dtype).at[0].set(1.0)
         p_t = jnp.concatenate([p_t, pad_p], axis=-1)
         q_t = jnp.concatenate(
-            [q_t, jnp.zeros((2 * n - 1, Bp - B), q.dtype)], axis=-1)
+            [q_t, jnp.zeros((2 * n - 1, Bp - B), q_t.dtype)], axis=-1)
         b_t = jnp.concatenate(
-            [b_t, jnp.zeros((n, Bp - B), b.dtype)], axis=-1)
+            [b_t, jnp.zeros((n, Bp - B), b_t.dtype)], axis=-1)
 
-    p_t = p_t.reshape(n, Bp // LANE, LANE)
-    q_t = q_t.reshape(2 * n - 1, Bp // LANE, LANE)
-    b_t = b_t.reshape(n, Bp // LANE, LANE)
+    p_r = p_t.reshape(n, Bp // LANE, LANE)
+    q_r = q_t.reshape(2 * n - 1, Bp // LANE, LANE)
+    b_r = b_t.reshape(n, Bp // LANE, LANE)
 
     kernel = functools.partial(_newton_kernel, n=n)
     out = pl.pallas_call(
@@ -123,11 +122,30 @@ def toephank_solve_pallas(p: jnp.ndarray, q: jnp.ndarray, b: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((n, SUB, LANE), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, Bp // LANE, LANE), b.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, Bp // LANE, LANE), b_t.dtype),
         interpret=interpret,
-    )(p_t, q_t, b_t)
+    )(p_r, q_r, b_r)
 
-    out = out.reshape(n, Bp)[:, :B]
+    return out.reshape(n, Bp)[:, :B]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def toephank_solve_pallas(p: jnp.ndarray, q: jnp.ndarray, b: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Solve (Toeplitz(p) + Hankel(q)) x = b, batched.
+
+    p: (..., n), q: (..., 2n-1), b: (..., n), all float32.
+    """
+    n = b.shape[-1]
+    if p.shape[-1] != n or q.shape[-1] != 2 * n - 1:
+        raise ValueError(
+            "p must have n entries and q must have 2n-1 entries.")
+    batch_shape = b.shape[:-1]
+
+    p_t = jnp.moveaxis(p.reshape(-1, n), 0, -1)             # (n, B)
+    q_t = jnp.moveaxis(q.reshape(-1, 2 * n - 1), 0, -1)     # (2n-1, B)
+    b_t = jnp.moveaxis(b.reshape(-1, n), 0, -1)             # (n, B)
+    out = toephank_solve_lane_major(p_t, q_t, b_t, interpret=interpret)
     return jnp.moveaxis(out, -1, 0).reshape(batch_shape + (n,))
 
 
@@ -174,6 +192,37 @@ def _newton_bwd(res, g):
 
 
 newton_solve.defvjp(_newton_fwd, _newton_bwd)
+
+
+@jax.custom_vjp
+def newton_solve_t(rt_t: jnp.ndarray, b_t: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable lane-major Toeplitz+Hankel SPD solve.
+
+    rt_t (2n-1, B), b_t (n, B) -> x_t (n, B): solves
+    (Toeplitz(rt[:n]) + Hankel(rt)) x = b per lane with no relayouts —
+    the mcep Newton loop keeps its whole iteration lane-major.
+    """
+    n = b_t.shape[0]
+    return toephank_solve_lane_major(rt_t[:n], rt_t, b_t)
+
+
+def _newton_t_fwd(rt_t, b_t):
+    x = newton_solve_t(rt_t, b_t)
+    return x, (rt_t, x)
+
+
+def _newton_t_bwd(res, g):
+    rt_t, x = res
+    n = x.shape[0]
+    z = toephank_solve_lane_major(rt_t[:n], rt_t, g)
+    S = jnp.asarray(_structure_onehot(n), x.dtype)
+    dA = -z[:, None, :] * x[None, :, :]                     # (n, n, B)
+    drt = jnp.einsum("ijb,ijk->kb", dA, S,
+                     precision=jax.lax.Precision.HIGHEST)
+    return drt, z
+
+
+newton_solve_t.defvjp(_newton_t_fwd, _newton_t_bwd)
 
 
 @functools.lru_cache(maxsize=None)

@@ -14,21 +14,25 @@ import numpy as np
 
 from ..core import BaseOp, Design, check_size, filter_values, get_layer
 from ..utils.linalg import hankel, spd_solve, symmetric_toeplitz
-from .freqt import FrequencyTransform
+from .freqt import FrequencyTransform, design_freqt
 
 
-def _use_newton_kernel(rt: jnp.ndarray) -> bool:
+def _use_newton_kernel(arr: jnp.ndarray, n: int | None = None) -> bool:
     """Gate for the unrolled Pallas Toeplitz+Hankel solve: TPU, f32,
-    small order, and a batch large enough to fill the register tiles."""
+    small order, and a batch large enough to fill the register tiles.
+
+    ``arr`` supplies dtype and batch shape (leading dims); ``n`` is the
+    system order (defaults to the mgcep convention (last_dim+1)//2)."""
     import jax
 
-    n = (rt.shape[-1] + 1) // 2
-    batch = int(np.prod(rt.shape[:-1])) if rt.ndim > 1 else 1
+    if n is None:
+        n = (arr.shape[-1] + 1) // 2
+    batch = int(np.prod(arr.shape[:-1])) if arr.ndim > 1 else 1
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    return bool(on_tpu and rt.dtype == jnp.float32 and n <= 33
+    return bool(on_tpu and arr.dtype == jnp.float32 and n <= 33
                 and batch >= 2048)
 
 
@@ -116,26 +120,43 @@ class MelCepstralAnalysis(BaseOp):
                 n_iter: int = 0, module: bool = True) -> Design:
         MelCepstralAnalysis._check(fft_length, cep_order, alpha, n_iter)
         H = fft_length // 2
+        M = cep_order
         freqt = get_layer(module, FrequencyTransform,
                           dict(in_order=H, out_order=cep_order, alpha=alpha))
-        ifreqt = get_layer(module, FrequencyTransform,
-                           dict(in_order=cep_order, out_order=H,
-                                alpha=-alpha))
-        rfreqt = get_layer(module, CoefficientsFrequencyTransform,
-                           dict(in_order=H, out_order=2 * cep_order,
-                                alpha=alpha))
+        # The Newton iteration's two transform chains each compose into
+        # one matmul (host-side, float64):
+        #   D  = Re(rfft(ifreqt(mc), L))      -> mc @ P1,  P1 (M+1, H+1)
+        #   rt = rfreqt(irfft_real(d, L))     -> d  @ P2,  P2 (H+1, 2M+1)
+        # replacing two (H+1)x(H+1) cosine matmuls per iteration with
+        # (M+1)- and (2M+1)-column ones (reference: mcep.py:209-216).
+        t = np.arange(H + 1)
+        k = np.arange(H + 1)
+        ang = 2.0 * np.pi * np.outer(t, k) / fft_length
+        C1 = np.cos(ang)                                    # (H+1, H+1)
+        w = np.full(H + 1, 2.0)
+        w[0] = 1.0
+        w[H] = 1.0
+        Ci = (w[:, None] * np.cos(ang)) / fft_length        # (H+1, H+1)
+        A_if = design_freqt(cep_order, H, -alpha)           # (M+1, H+1)
+        A_rt = design_coef_freqt(H, 2 * M, alpha)           # (H+1, 2M+1)
+        P1 = A_if @ C1
+        P2 = Ci @ A_rt
         alpha_vector = (-alpha) ** np.arange(cep_order + 1)
         return Design(
             values={"fft_length": fft_length, "n_iter": n_iter},
-            layers={"freqt": freqt, "ifreqt": ifreqt, "rfreqt": rfreqt},
-            arrays={"alpha_vector": alpha_vector})
+            layers={"freqt": freqt},
+            arrays={"alpha_vector": alpha_vector, "P1": P1, "P2": P2})
 
     @staticmethod
     def _forward(x: jnp.ndarray, *, fft_length: int, n_iter: int,
-                 freqt, ifreqt, rfreqt,
+                 freqt, P1: jnp.ndarray, P2: jnp.ndarray,
                  alpha_vector: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
         M = alpha_vector.shape[-1] - 1
         H = fft_length // 2
+        n = M + 1
+        hi = jax.lax.Precision.HIGHEST
 
         log_x = jnp.log(x)
         c = jnp.fft.irfft(log_x)
@@ -143,31 +164,41 @@ class MelCepstralAnalysis(BaseOp):
         scale[0] = 0.5
         scale[H] = 0.5
         mc = freqt(c[..., : H + 1] * jnp.asarray(scale, c.dtype))
+        if n_iter == 0:
+            return mc
 
-        from ..kernels import mxu_fft
+        if _use_newton_kernel(x, n):
+            # TPU: the whole Newton iteration runs lane-major (frames on
+            # lanes) so the composed transform matmuls feed the
+            # register-tile Pallas solve with no relayouts; the
+            # (batch, n, n) Hessian never exists.
+            from ..kernels.pallas_newton import newton_solve_t
+            batch = x.shape[:-1]
+            mc_t = mc.reshape(-1, n).T                      # (n, B)
+            lx_t = log_x.reshape(-1, H + 1).T               # (H+1, B)
+            P1_t = P1.T                                     # (H+1, M+1)
+            P2_t = P2.T                                     # (2M+1, H+1)
+            av = alpha_vector[:, None]
+            for _ in range(n_iter):
+                D = jnp.matmul(P1_t, mc_t, precision=hi)    # (H+1, B)
+                d = jnp.exp(lx_t - D - D)
+                rt_t = jnp.matmul(P2_t, d, precision=hi)    # (2M+1, B)
+                ra_t = rt_t[:n] - av
+                mc_t = mc_t + newton_solve_t(rt_t, ra_t)
+            return mc_t.T.reshape(batch + (n,))
+
         for _ in range(n_iter):
-            c = ifreqt(mc)
-            d = mxu_fft.rfft_real(c, fft_length)
-            d = jnp.exp(log_x - d - d)
-
-            rt = rfreqt(mxu_fft.irfft_real(d, fft_length))
-            r = rt[..., : M + 1]
+            D = jnp.matmul(mc, P1, precision=hi)
+            d = jnp.exp(log_x - D - D)
+            rt = jnp.matmul(d, P2, precision=hi)
+            r = rt[..., :n]
             ra = r - alpha_vector
-
-            if _use_newton_kernel(rt):
-                # TPU: fully-unrolled register-tile Pallas kernel that
-                # forms A[i, j] = rt[|i-j|] + rt[i+j] on the fly — the
-                # (batch, n, n) Hessian never touches HBM.
-                from ..kernels.pallas_newton import newton_solve
-                gradient = newton_solve(rt, ra)
-            else:
-                R = symmetric_toeplitz(r)
-                Q = hankel(rt)
-                # Newton Hessian is SPD; the batched masked-Cholesky
-                # solver is ~25x faster than XLA LU for many small
-                # systems.
-                gradient = spd_solve(R + Q, ra)
-            mc = mc + gradient
+            R = symmetric_toeplitz(r)
+            Q = hankel(rt)
+            # Newton Hessian is SPD; the batched masked-Cholesky
+            # solver is ~25x faster than XLA LU for many small
+            # systems.
+            mc = mc + spd_solve(R + Q, ra)
 
         return mc
 

@@ -55,6 +55,29 @@ def test_fused_matches_folded(B, N, P, M, S, advance):
                                atol=2e-4 * float(np.abs(want).max()))
 
 
+@pytest.mark.parametrize("B,N,P,M,S,advance,precision",
+                         [(4, 6, 16, 39, 4, 0, "HIGHEST"),
+                          (2, 5, 16, 30, 3, 5, "HIGHEST"),
+                          (3, 4, 32, 95, 4, 0, "HIGHEST"),
+                          (4, 6, 16, 39, 4, 0, "HIGH")])
+def test_chunked_fused_matches_folded(B, N, P, M, S, advance, precision):
+    """Tap-chunked grouped kernel (the flagship-geometry path) vs the
+    folded XLA formulation, interpreter mode."""
+    from diffsptk_tpu.kernels.mlsa_cascade import lane_aligned_nfft
+    from diffsptk_tpu.kernels.pallas_mlsa import _cascade_pallas_chunked
+
+    nfft = lane_aligned_nfft(3 * P)
+    x, c, weights, a = _case(B, N, P, M, S)
+    got = np.asarray(_cascade_pallas_chunked(
+        x.reshape(B, N, P), c, weights, a, P, advance, nfft,
+        interpret=True, precision=precision)).reshape(B, N * P)
+    want = np.asarray(taylor_cascade_folded(x, c, weights, a, P, advance,
+                                            nfft))
+    tol = 2e-4 if precision == "HIGH" else 1e-5
+    np.testing.assert_allclose(got, want, rtol=tol,
+                               atol=tol * float(np.abs(want).max()))
+
+
 def test_taylor_cascade_entry_and_grad():
     """The public entry falls back to the folded XLA path off-TPU and
     carries gradients."""

@@ -23,7 +23,7 @@ _SLOT_CHUNK = 128
 _VMEM_ROW_LIMIT = 4 * 1024 * 1024          # bytes per output row
 
 
-def _make_kernel(Pp: int, C: int):
+def _make_kernel(Pp: int, C: int, nr: int):
     def _kernel(tidx_ref, resp_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -32,23 +32,27 @@ def _make_kernel(Pp: int, C: int):
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        L = resp_ref.shape[2]
-        Lp = L + 128
         base = i * Pp + j * C
+        lanes = lax.broadcasted_iota(jnp.int32, (nr + 1, 128), 1)
+        zrow = jnp.zeros((1, 128), out_ref.dtype)
 
         def body(s, _):
-            # Mosaic needs lane offsets provably 128-aligned: split the
-            # start index into an aligned base plus an in-register
-            # rotate of the response into a zero-tailed wide window.
+            # The response rides as an (nr, 128) 2-D tile (full-sublane
+            # VPU shapes — a (1, L) row uses 1/8 of the unit).  The flat
+            # rotate by t % 128 is a lane roll plus a row-carry select,
+            # and the destination offset is then sublane-aligned, so
+            # the read-modify-write is a dynamic slice on the
+            # second-to-last axis of the 2-D output row — no lane
+            # relayouts anywhere.
             t = tidx_ref[base + s]
             t_lo = lax.rem(t, 128)
-            t_hi = t - t_lo
-            r = resp_ref[0, s, :].reshape(1, L)
-            wide = jnp.concatenate(
-                [r, jnp.zeros((1, 128), r.dtype)], axis=1)
-            wide = pltpu.roll(wide, t_lo, 1)
-            start = pl.multiple_of(t_hi, 128)
-            out_ref[i, pl.ds(start, Lp)] += wide[0]
+            row0 = (t - t_lo) // 128
+            r2 = resp_ref[0, s]                         # (nr, 128)
+            rolled = pltpu.roll(r2, t_lo, 1)
+            rp = jnp.concatenate([rolled, zrow], axis=0)   # (nr+1, 128)
+            carry = pltpu.roll(rp, 1, 0)                # row i-1 (row 0<-0)
+            wide = jnp.where(lanes >= t_lo, rp, carry)
+            out_ref[i, pl.ds(row0, nr + 1), :] += wide
             return 0
 
         lax.fori_loop(0, C, body, 0)
@@ -65,28 +69,33 @@ def _pallas_ola(tidx: jnp.ndarray, resp: jnp.ndarray,
         # padded slots: zero response at index 0 — harmless adds
         resp = jnp.pad(resp, ((0, 0), (0, pad_p), (0, 0)))
         tidx = jnp.pad(tidx, ((0, 0), (0, pad_p)))
+    pad_l = (-L) % 128
+    if pad_l:
+        resp = jnp.pad(resp, ((0, 0), (0, 0), (0, pad_l)))
+    Lp = L + pad_l
+    nr = Lp // 128
     Pp = resp.shape[1]
     C = _SLOT_CHUNK
-    # room for the aligned-base write: up to 127 + L beyond the last
+    # room for the aligned-base write: up to 127 + Lp beyond the last
     # start index, and a multiple of 128 overall
-    out_pad = -(-out_len // 128) * 128 + 128
+    out_rows = -(-out_len // 128) + nr + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # tidx rides whole in SMEM
         grid=(B, Pp // C),
         in_specs=[
-            pl.BlockSpec((1, C, L), lambda i, j, t: (i, j, 0),
+            pl.BlockSpec((1, C, nr, 128), lambda i, j, t: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         # full-array output block: stays VMEM-resident across the grid
-        out_specs=pl.BlockSpec((B, out_pad), lambda i, j, t: (0, 0),
+        out_specs=pl.BlockSpec((B, out_rows, 128), lambda i, j, t: (0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     y = pl.pallas_call(
-        _make_kernel(Pp, C),
+        _make_kernel(Pp, C, nr),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, out_pad), resp.dtype),
-    )(tidx.reshape(-1), resp)
-    return y[:, :out_len]
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, 128), resp.dtype),
+    )(tidx.reshape(-1), resp.reshape(B, Pp, nr, 128))
+    return y.reshape(B, out_rows * 128)[:, :out_len]
 
 
 def overlap_add(tidx: jnp.ndarray, resp: jnp.ndarray,

@@ -171,6 +171,100 @@ class AperiodicityExtractionByTANDEM:
         self.window = to_device_array(window, dtype)
         self.window_sqrt = jnp.sqrt(self.window)
 
+    def _interp_bap(self, bap: list[jnp.ndarray]) -> jnp.ndarray:
+        bap.append(bap[-1])
+        ap = jnp.stack(bap[::-1], axis=-1)                      # (B, N, D)
+        if self.has_interp:
+            y = jnp.log(ap)
+            y0 = y[..., :-1]
+            dy = y[..., 1:] - y0
+            yi = ((dy @ self.interp_select) * self.interp_weights
+                  + y0 @ self.interp_select)
+            ap = jnp.exp(yi)
+        return ap
+
+    def _merged_bands(self, x: jnp.ndarray, f0: jnp.ndarray,
+                      time_axis: jnp.ndarray) -> jnp.ndarray:
+        """All-band fast path: the four bands' window extractions, 6-tap
+        least-squares fits, and deviation statistics run as ONE gather,
+        ONE batched solve, and one reduction set (band as a batch axis;
+        each band's segment length J_i is carried by its zero-padded
+        window row, with the std counts corrected per band).  Exactly
+        the per-band loop's math; sharded callers (band_fix/carry_fix)
+        keep the loop."""
+        B, N = f0.shape
+        nb = self.n_band
+        Jmax = self.segment_length[0]
+        Wn = Jmax + 2
+
+        xs = []
+        lx = x
+        for i in range(nb):
+            if i < nb - 1:
+                xs.append(_conv_stride2(lx, self.hHP))
+                lx = _conv_stride2(lx, self.hLP)
+            else:
+                xs.append(lx)
+
+        segs, starts_all = [], []
+        offset = 0
+        for i in range(nb):
+            tmp_fs = 2 * self.cutoff_list[i]
+            pitch = tmp_fs / f0
+            t0 = (pitch + 0.5).astype(jnp.int32)
+            index_bias = (pitch * 0.5 + 0.5).astype(jnp.int32)
+            curr_pos = (time_axis * tmp_fs + 1.5).astype(jnp.int32)[None, :]
+            origin = curr_pos - index_bias                      # (B, N)
+            J = self.segment_length[i]
+            pad = _tandem_pad(tmp_fs, J)
+            xp = jnp.pad(xs[i], ((0, 0), (pad, pad)), mode="edge")
+            xp = jnp.pad(xp, ((0, 0), (0, Wn)))    # guard for over-reads
+            starts_all.append(jnp.concatenate(
+                [origin - t0 - 1, origin + t0 - 1, origin],
+                axis=-1) + (pad + offset))                      # (B, 3N)
+            segs.append(xp)
+            offset += xp.shape[-1]
+        buf = jnp.concatenate(segs, axis=-1)
+        starts = jnp.concatenate(starts_all, axis=-1)           # (B, nb*3N)
+        win = gather_windows(buf, starts, Wn)
+        win = win.reshape(B, nb, 3, N, Wn)
+
+        cols = [win[:, :, p, :, s:s + Jmax]
+                for p in range(2) for s in range(3)]          # 6x(B,nb,N,J)
+        X = win[:, :, 2, :, :Jmax]
+        w = self.window[None, :, None, :]                     # (1,nb,1,J)
+        wc = [w * c for c in cols]
+        ent = {}
+        for p in range(6):
+            for q in range(p, 6):
+                ent[(p, q)] = jnp.sum(wc[p] * cols[q], axis=-1)
+        R = jnp.stack(
+            [jnp.stack([ent[(min(p, q), max(p, q))] for q in range(6)],
+                       axis=-1) for p in range(6)], axis=-2)  # (B,nb,N,6,6)
+        rhs = jnp.stack([jnp.sum(wc[p] * X, axis=-1)
+                         for p in range(6)], axis=-1)         # (B,nb,N,6)
+        a = spd_solve(R + self.eye, rhs)
+        Ha = sum(a[..., p:p + 1] * cols[p] for p in range(6))
+
+        wsq = self.window_sqrt[None, :, None, :]
+        wx = wsq * X
+        wxHa = wsq * (X - Ha)
+        counts = jnp.asarray(self.segment_length,
+                             f0.dtype)[None, :, None]         # (1, nb, 1)
+        jmask = (jnp.arange(Jmax)[None, None, None, :]
+                 < counts[..., None]).astype(f0.dtype)        # (1,nb,1,J)
+
+        def _std(v):
+            # two-pass std over each band's first J_i entries (the
+            # single-pass form cancels catastrophically when the fit
+            # residual is tiny)
+            m = jnp.sum(v, axis=-1, keepdims=True) / counts[..., None]
+            d = (v - m) * jmask
+            return jnp.sqrt(jnp.sum(d * d, axis=-1) / (counts - 1))
+
+        bap_b = _std(wxHa) / (_std(wx) + 1e-16)               # (B, nb, N)
+        return self._interp_bap([bap_b[:, i] for i in range(nb)])
+
     def __call__(self, x: jnp.ndarray, f0: jnp.ndarray,
                  n_offset=0, band_bases=None, band_fix=None,
                  carry_fix=None) -> jnp.ndarray:
@@ -182,6 +276,8 @@ class AperiodicityExtractionByTANDEM:
         edges with the boundary value, reproducing the elementwise index
         clamp).  All window positions are global-frame-derived, so the
         math is identical across shardings."""
+        merged = (band_bases is None and band_fix is None
+                  and carry_fix is None)
         if band_bases is None:
             band_bases = [0] * self.n_band
         f0 = jax.lax.stop_gradient(
@@ -189,6 +285,8 @@ class AperiodicityExtractionByTANDEM:
         B, N = f0.shape
         time_axis = (jnp.arange(N) + n_offset).astype(f0.dtype) * (
             self.frame_period / self.sample_rate)
+        if merged:
+            return self._merged_bands(x, f0, time_axis)
 
         bap = []
         lx = x
@@ -241,11 +339,16 @@ class AperiodicityExtractionByTANDEM:
                     for p in range(2) for s in range(3)]        # 6x (B,N,J)
             X = win[:, 2 * N:, :J]                              # (B, N, J)
             w = self.window[i, :J]
+            wc = [w * c for c in cols]
+            ent = {}
+            for p in range(6):
+                for q in range(p, 6):
+                    ent[(p, q)] = jnp.sum(wc[p] * cols[q], axis=-1)
             R = jnp.stack(
-                [jnp.stack([jnp.sum(w * cols[p] * cols[q], axis=-1)
+                [jnp.stack([ent[(min(p, q), max(p, q))]
                             for q in range(6)], axis=-1)
                  for p in range(6)], axis=-2)                   # (B, N, 6, 6)
-            rhs = jnp.stack([jnp.sum(w * cols[p] * X, axis=-1)
+            rhs = jnp.stack([jnp.sum(wc[p] * X, axis=-1)
                              for p in range(6)], axis=-1)       # (B, N, 6)
             a = spd_solve(R + self.eye, rhs)                    # (B, N, 6)
             Ha = sum(a[..., p:p + 1] * cols[p] for p in range(6))
@@ -257,17 +360,7 @@ class AperiodicityExtractionByTANDEM:
             numer = jnp.std(wxHa, axis=-1, ddof=1)
             bap.append(numer / (denom + 1e-16))
 
-        bap.append(bap[-1])
-        ap = jnp.stack(bap[::-1], axis=-1)                      # (B, N, D)
-
-        if self.has_interp:
-            y = jnp.log(ap)
-            y0 = y[..., :-1]
-            dy = y[..., 1:] - y0
-            yi = ((dy @ self.interp_select) * self.interp_weights
-                  + y0 @ self.interp_select)
-            ap = jnp.exp(yi)
-        return ap
+        return self._interp_bap(bap)
 
 
 class AperiodicityExtractionByD4C:

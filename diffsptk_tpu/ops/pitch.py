@@ -33,16 +33,23 @@ def _yin_frames(x: jnp.ndarray, frame_period: int, window_length: int,
     """Slice frames of length window_length + tau_max every frame_period
     (centered), zero-padded at the edges."""
     L = window_length + tau_max
+    P = frame_period
     T = x.shape[-1]
     # Reference frame-count convention (torchcrepe/penn hop framing,
     # reference pitch.py:247-252): one frame centered at every multiple
     # of the frame period in [0, T], i.e. T // P + 1 frames.
-    n_frames = T // frame_period + 1
-    pad = [(0, 0)] * (x.ndim - 1) + [(L // 2, L)]
-    xp = jnp.pad(x, pad)
-    idx = (np.arange(n_frames)[:, None] * frame_period
-           + np.arange(L)[None, :])
-    return xp[..., idx]                                  # (..., N, L)
+    n_frames = T // P + 1
+    # Frame rows as K = ceil(L/P) static slices of the (n, P) period
+    # view concatenated on the last axis — pure copies; an
+    # advanced-index gather scalarizes to ~n_frames*L element fetches
+    # on TPU.
+    K = -(-L // P)
+    total = (n_frames + K) * P
+    pad = [(0, 0)] * (x.ndim - 1) + [(L // 2, max(total - L // 2 - T, 0))]
+    xp = jnp.pad(x, pad)[..., :total]
+    v = xp.reshape(xp.shape[:-1] + (n_frames + K, P))
+    return jnp.concatenate(
+        [v[..., i:i + n_frames, :] for i in range(K)], axis=-1)[..., :L]
 
 
 def yin_difference(frames: jnp.ndarray, window_length: int,

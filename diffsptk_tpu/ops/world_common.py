@@ -221,12 +221,20 @@ def frames_matching_f0(x, n_frames, frame_length, frame_period,
     L, P = frame_length, frame_period
     T = x.shape[-1]
     # right padding must cover the last frame: (n_frames-1)*P + L-1
-    # indexes into x padded by L//2 on the left
-    right = max((n_frames - 1) * P + L - L // 2 - T, 0)
+    # indexes into x padded by L//2 on the left.  Frame rows are built
+    # as K = ceil(L/P) static slices of the (n, P) period view
+    # concatenated on the last axis (frame n = periods n..n+K-1) — pure
+    # copies; the (n_frames, L) advanced-index gather this replaces
+    # scalarizes to ~n_frames*L element fetches on TPU (~0.6 ms at
+    # speech scale).
+    K = -(-L // P)
+    total = (n_frames + K) * P
+    right = max(total - L // 2 - T, 0)
     cfg = [(0, 0)] * (x.ndim - 1) + [(L // 2, right)]
-    xp = jnp.pad(x, cfg, mode=mode)
-    idx = np.arange(n_frames)[:, None] * P + np.arange(L)[None, :]
-    y = xp[..., idx]
+    xp = jnp.pad(x, cfg, mode=mode)[..., :total]
+    v = xp.reshape(xp.shape[:-1] + (n_frames + K, P))
+    y = jnp.concatenate(
+        [v[..., i:i + n_frames, :] for i in range(K)], axis=-1)[..., :L]
     if zmean:
         y = y - jnp.mean(y, axis=-1, keepdims=True)
     return y

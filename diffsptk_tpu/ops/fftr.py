@@ -72,7 +72,15 @@ class RealValuedFastFourierTransform(BaseOp):
     def _forward(x: jnp.ndarray, *, fft_length: int | None, formatter,
                  W: jnp.ndarray | None = None) -> jnp.ndarray:
         if W is None:
-            y = jnp.fft.rfft(x, n=fft_length)
+            from ..kernels import mxu_fft
+            n = fft_length if fft_length is not None else x.shape[-1]
+            if mxu_fft.use_mxu(x.dtype, n):
+                # XLA's TPU FFT runs ~0.4 ms per batched 512..2048-pt
+                # rfft on v5e; the two-stage MXU matmul factorization is
+                # ~5x faster at HIGHEST precision.
+                y = mxu_fft.rfft_mxu(x, n)
+            else:
+                y = jnp.fft.rfft(x, n=fft_length)
         else:
             if fft_length is not None and fft_length != x.shape[-1]:
                 cfg = [(0, 0)] * (x.ndim - 1) + [(0, fft_length - x.shape[-1])]
@@ -126,7 +134,12 @@ class RealValuedInverseFastFourierTransform(BaseOp):
     def _forward(y: jnp.ndarray, *, out_length: int | None,
                  W: jnp.ndarray | None = None) -> jnp.ndarray:
         if W is None:
-            x = jnp.fft.irfft(y)[..., :out_length]
+            from ..kernels import mxu_fft
+            n = 2 * (y.shape[-1] - 1)
+            if mxu_fft.use_mxu(y.dtype, n):
+                x = mxu_fft.irfft_mxu(y, n)[..., :out_length]
+            else:
+                x = jnp.fft.irfft(y)[..., :out_length]
         else:
             yr = jnp.concatenate([y.real, y.imag], axis=-1)
             x = jnp.matmul(yr, W)

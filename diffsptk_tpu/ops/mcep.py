@@ -121,8 +121,6 @@ class MelCepstralAnalysis(BaseOp):
         MelCepstralAnalysis._check(fft_length, cep_order, alpha, n_iter)
         H = fft_length // 2
         M = cep_order
-        freqt = get_layer(module, FrequencyTransform,
-                          dict(in_order=H, out_order=cep_order, alpha=alpha))
         # The Newton iteration's two transform chains each compose into
         # one matmul (host-side, float64):
         #   D  = Re(rfft(ifreqt(mc), L))      -> mc @ P1,  P1 (M+1, H+1)
@@ -141,15 +139,23 @@ class MelCepstralAnalysis(BaseOp):
         A_rt = design_coef_freqt(H, 2 * M, alpha)           # (H+1, 2M+1)
         P1 = A_if @ C1
         P2 = Ci @ A_rt
+        # Seed chain irfft(log X)[..., :H+1] * scale -> freqt as ONE
+        # composed matmul (the XLA TPU irfft alone costs ~0.4 ms at the
+        # flagship batch).
+        scale = np.ones(H + 1)
+        scale[0] = 0.5
+        scale[H] = 0.5
+        A_seed = design_freqt(H, cep_order, alpha)          # (H+1, M+1)
+        P0 = (Ci * scale[None, :]) @ A_seed
         alpha_vector = (-alpha) ** np.arange(cep_order + 1)
         return Design(
             values={"fft_length": fft_length, "n_iter": n_iter},
-            layers={"freqt": freqt},
-            arrays={"alpha_vector": alpha_vector, "P1": P1, "P2": P2})
+            arrays={"alpha_vector": alpha_vector, "P0": P0, "P1": P1,
+                    "P2": P2})
 
     @staticmethod
     def _forward(x: jnp.ndarray, *, fft_length: int, n_iter: int,
-                 freqt, P1: jnp.ndarray, P2: jnp.ndarray,
+                 P0: jnp.ndarray, P1: jnp.ndarray, P2: jnp.ndarray,
                  alpha_vector: jnp.ndarray) -> jnp.ndarray:
         import jax
 
@@ -159,11 +165,7 @@ class MelCepstralAnalysis(BaseOp):
         hi = jax.lax.Precision.HIGHEST
 
         log_x = jnp.log(x)
-        c = jnp.fft.irfft(log_x)
-        scale = np.ones(H + 1)
-        scale[0] = 0.5
-        scale[H] = 0.5
-        mc = freqt(c[..., : H + 1] * jnp.asarray(scale, c.dtype))
+        mc = jnp.matmul(log_x, P0, precision=hi)
         if n_iter == 0:
             return mc
 

@@ -52,10 +52,70 @@ def _yin_frames(x: jnp.ndarray, frame_period: int, window_length: int,
         [v[..., i:i + n_frames, :] for i in range(K)], axis=-1)[..., :L]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _yin_plans(L: int, W: int, tau_max: int):
+    """Static matmul plans for the YIN difference function.
+
+    The batched 2048-pt XLA TPU FFTs of the correlation form cost
+    ~0.4 ms each at speech scale and the frame-axis cumsum another
+    ~0.35 ms; as plans, the whole difference function is two MXU
+    matmuls: forward = frames @ [C_full | S_full | C_head | S_head]
+    (head masking folded into zeroed plan rows), inverse = the real
+    inverse DFT evaluated at lags [0, tau_max) with the energy-window
+    band matrix appended so d's energy terms ride the same matmul pair.
+    """
+    nfft = 2 * (-(-(L + 1) // 2))               # any even nfft >= L works
+    K = nfft // 2 + 1
+    t = np.arange(L)
+    k = np.arange(K)
+    ang = 2.0 * np.pi * np.outer(t, k) / nfft
+    Cf = np.cos(ang)
+    Sf = -np.sin(ang)
+    head = (t < W).astype(np.float64)[:, None]
+    fwd = np.concatenate([Cf, Sf, Cf * head, Sf * head], axis=1)
+    w = np.full(K, 2.0)
+    w[0] = 1.0
+    if nfft % 2 == 0:
+        w[-1] = 1.0
+    tau = np.arange(tau_max)
+    iang = 2.0 * np.pi * np.outer(k, tau) / nfft
+    ICc = (w[:, None] * np.cos(iang)) / nfft
+    ICs = (-w[:, None] * np.sin(iang)) / nfft
+    # energy band matrix: e[tau] = sum_{tau <= j < tau+W} frames[j]^2
+    Eb = ((tau[None, :] <= t[:, None])
+          & (t[:, None] < tau[None, :] + W)).astype(np.float64)
+    return fwd, ICc, ICs, Eb, K
+
+
 def yin_difference(frames: jnp.ndarray, window_length: int,
                    tau_max: int) -> jnp.ndarray:
     """d[tau] = sum_{j<W} (x[j] - x[j+tau])^2 for tau in [0, tau_max)."""
+    import jax
+
     L = frames.shape[-1]
+    W = window_length
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        fwd, ICc, ICs, Eb, K = _yin_plans(L, W, tau_max)
+        dt = frames.dtype
+        hi = jax.lax.Precision.HIGHEST
+        F = jnp.matmul(frames, jnp.asarray(fwd, dt), precision=hi)
+        Fre, Fim = F[..., :K], F[..., K:2 * K]
+        Hre, Him = F[..., 2 * K:3 * K], F[..., 3 * K:]
+        Pre = Hre * Fre + Him * Fim                   # conj(H) * F
+        Pim = Hre * Fim - Him * Fre
+        acf = (jnp.matmul(Pre, jnp.asarray(ICc, dt), precision=hi)
+               + jnp.matmul(Pim, jnp.asarray(ICs, dt), precision=hi))
+        e_tau = jnp.matmul(jnp.square(frames), jnp.asarray(Eb, dt),
+                           precision=hi)
+        return e_tau[..., :1] + e_tau - 2 * acf
+
     n_fft = 1
     while n_fft < 2 * L:
         n_fft *= 2

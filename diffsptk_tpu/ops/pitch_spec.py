@@ -9,6 +9,7 @@ lives in straight.py (reference: pitch_spec.py:324-572).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -23,6 +24,12 @@ from .world_common import (
     get_windowed_waveform,
     linear_smoothing,
 )
+
+
+@functools.lru_cache(maxsize=8)
+def _dither_table(n: int, d: int) -> np.ndarray:
+    return np.abs(np.random.default_rng(1)
+                  .standard_normal((n, d))).astype(np.float32)
 
 
 class SpectrumExtractionByCheapTrick:
@@ -77,11 +84,14 @@ class SpectrumExtractionByCheapTrick:
             self.ramp, self.max_boundary)
         # AddInfinitesimalNoise(); also clamp away the tiny negatives
         # FFT-form smoothing can round to at float32 (the true smoothed
-        # power is positive) before the log below.
+        # power is positive) before the log below.  The dither is
+        # eps-scale (~1e-7 relative), so a cached host-side table
+        # replaces the ~1M-element on-device threefry draw.
+        D = power_spectrum.shape[-1]
+        N = power_spectrum.shape[-2]
+        tbl = _dither_table(N, D)
         power_spectrum = power_spectrum + (
-            jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
-                                      power_spectrum.shape,
-                                      power_spectrum.dtype))
+            jnp.asarray(tbl, power_spectrum.dtype)
             * jnp.finfo(power_spectrum.dtype).eps)
         power_spectrum = jnp.maximum(power_spectrum, 1e-30)
 
@@ -91,10 +101,11 @@ class SpectrumExtractionByCheapTrick:
         smoothing_lifter = jnp.sinc(z).at[..., 0].set(1.0)
         compensation_lifter = (1 - 2 * self.q1) + 2 * self.q1 * jnp.cos(
             TAU * z)
-        cepstrum = jnp.fft.irfft(jnp.log(power_spectrum))[..., :one_sided]
-        log_power_spectrum = jnp.fft.hfft(
-            cepstrum * smoothing_lifter * compensation_lifter)[
-            ..., :one_sided]
+        from ..kernels import mxu_fft
+        L = self.fft_length
+        cepstrum = mxu_fft.irfft_real(jnp.log(power_spectrum), L)
+        log_power_spectrum = mxu_fft.hfft_real(
+            cepstrum * smoothing_lifter * compensation_lifter, L)
         return log_power_spectrum
 
 

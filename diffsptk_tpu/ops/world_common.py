@@ -63,15 +63,39 @@ def interp1Q(x, shift, y, xi):
     return yb + db * frac
 
 
+def _frame_windows(rows: jnp.ndarray, starts: jnp.ndarray, length: int,
+                   guard: int):
+    """Per-frame windowed reads rows[..., n, starts[..., n] + k].
+
+    Flattens the frame axis into one guarded signal per batch row and
+    rides the Pallas windowed-gather kernel; starts must satisfy
+    0 <= start and start + length <= row_len + guard (the guard region
+    reads zeros)."""
+    from ..kernels.pallas_gather import gather_windows
+    lead = rows.shape[:-2]
+    n, d = rows.shape[-2], rows.shape[-1]
+    stride = d + guard
+    flat = jnp.pad(rows, [(0, 0)] * (rows.ndim - 1) + [(0, guard)])
+    flat = flat.reshape(lead + (n * stride,))
+    flat2 = flat.reshape(-1, n * stride)
+    off = jnp.arange(n, dtype=jnp.int32) * stride
+    st2 = (starts.astype(jnp.int32) + off).reshape(-1, n)
+    win = gather_windows(flat2, st2, length)
+    return win.reshape(lead + (n, length))
+
+
 def dc_correction(power_spectrum, f0, sample_rate, fft_length, ramp,
                   max_bins: int | None = None):
     """Reflect sub-f0 spectrum mass around f0 (WORLD DCCorrection).
 
     The reference reads the spectrum at the reversed uniform positions
-    f0 - k*rate via interp1Q (common.py:58); per-element gathers
-    scalarize on TPU, so the same lerped reversed read is computed as an
-    FFT convolution with a per-frame 2-tap kernel.  ``max_bins``
-    statically bounds f0/rate + 2 (defaults to the full half-spectrum).
+    f0 - k*rate via interp1Q (common.py:58).  The lerped reversed read
+    corrected[k] = (1-f) ps[b0-k] + f ps[b0+1-k] is a per-frame shifted
+    window of the flipped spectrum — one Pallas windowed gather
+    (per-element XLA gathers scalarize on TPU; the FFT-convolution form
+    this replaces spent ~0.4 ms in three batched transforms).
+    ``max_bins`` statically bounds f0/rate + 2 (defaults to the full
+    half-spectrum).
     """
     rate = sample_rate / fft_length
     D = fft_length // 2 + 1
@@ -82,13 +106,14 @@ def dc_correction(power_spectrum, f0, sample_rate, fft_length, ramp,
     b0 = jnp.clip(jnp.floor(c), 0, D - 2)
     f = c - b0
     Lh = D if max_bins is None else min(max_bins, D)
-    j = ramp[:Lh].astype(power_spectrum.dtype)
-    h = (j == b0) * (1 - f) + (j == b0 + 1) * f     # (..., Lh)
 
-    nfft = 1 << int(np.ceil(np.log2(D + Lh)))
-    C = jnp.fft.irfft(jnp.fft.rfft(power_spectrum, n=nfft)
-                      * jnp.fft.rfft(jnp.flip(h, -1), n=nfft), n=nfft)
-    corrected = jnp.flip(C[..., :Lh], -1)
+    # W[j] = psrev[(D-2-b0) + j] = ps[b0+1-j]; out-of-range reads
+    # (b0+1-j < 0) land in the zero guard, matching the zero-padded
+    # convolution this replaces.
+    psrev = jnp.flip(power_spectrum, -1)
+    starts = (D - 2 - b0[..., 0]).astype(jnp.int32)
+    W = _frame_windows(psrev, starts, Lh + 1, guard=Lh + 2)
+    corrected = f * W[..., :Lh] + (1 - f) * W[..., 1:Lh + 1]
     if Lh < D:
         pad = [(0, 0)] * (corrected.ndim - 1) + [(0, D - Lh)]
         corrected = jnp.pad(corrected, pad)
@@ -294,6 +319,8 @@ def linear_smoothing(power_spectrum, width, sample_rate, fft_length, ramp,
     fractional weights f, all of which land in a dense kernel built by
     iota comparison.  Exactly equal to the gather form; ~12x faster.
     """
+    import jax
+
     one_sided = fft_length // 2 + 1
     rate = sample_rate / fft_length
     boundary = (width / rate).astype(jnp.int32) + 1
@@ -305,25 +332,39 @@ def linear_smoothing(power_spectrum, width, sample_rate, fft_length, ramp,
     mask = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1)
                    + [(0, one_sided + max_boundary)], constant_values=True)
     mirror = mirror * mask
-    segment = jnp.cumsum(mirror * rate, axis=-1)
 
-    # low[k]  reads segment at z1 = k + c1, c1 = mb - 0.5 - w/(2 rate)
-    # high[k] reads segment at z2 = k + c2, c2 = mb - 0.5 + w/(2 rate)
-    # (high - low)[k] = sum_j kern[j] * segment[k + j]   (correlation)
+    # low[k]  lerp-reads segment = cumsum(mirror * rate) at z1 = k + c1,
+    # high[k] at z2 = k + c2, c{1,2} = mb - 0.5 -/+ w/(2 rate).
+    # The cumsum rides a lower-triangular ones matmul (XLA's minor-axis
+    # cumsum costs ~0.35 ms at speech scale; the MXU matmul ~0.06), and
+    # the two lerped reads are per-frame shifted windows of the segment
+    # through the Pallas gather kernel.  Reads past the segment end see
+    # a replicated final value (increments beyond the mirror are zero),
+    # matching the zero-padded correlation this replaces.
+    Ls = mirror.shape[-1]
+    csum_plan = np.triu(np.ones((Ls, Ls)))      # [j, i] = 1 for j <= i
+    segment = jnp.matmul(mirror * rate,
+                         jnp.asarray(csum_plan, mirror.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+    tail = 2 * max_boundary + 4
+    seg_ext = jnp.concatenate(
+        [segment, jnp.broadcast_to(segment[..., -1:],
+                                   segment.shape[:-1] + (tail,))], axis=-1)
+
     c1 = max_boundary - 0.5 - width / (2 * rate)
     c2 = max_boundary - 0.5 + width / (2 * rate)
-    b1 = jnp.clip(jnp.floor(c1), 0, segment.shape[-1] - 2)
-    b2 = jnp.clip(jnp.floor(c2), 0, segment.shape[-1] - 2)
+    # c2 <= 1.5*max_boundary analytically (boundary <= max_boundary), so
+    # this clip never binds differently from the reference's Ls-2 — but
+    # it also caps the window start so reads stay inside the frame's
+    # guarded stride.
+    lim = min(Ls - 2, 2 * max_boundary)
+    b1 = jnp.clip(jnp.floor(c1), 0, lim)
+    b2 = jnp.clip(jnp.floor(c2), 0, lim)
     f1 = c1 - b1
     f2 = c2 - b2
-    K = 2 * max_boundary + 2
-    j = ramp[:K].astype(segment.dtype)
-    kern = ((j == b2) * (1 - f2) + (j == b2 + 1) * f2
-            - (j == b1) * (1 - f1) - (j == b1 + 1) * f1)
-
-    nfft = 1 << int(np.ceil(np.log2(segment.shape[-1] + K)))
-    S = jnp.fft.rfft(segment, n=nfft)
-    # correlation: conv(segment, flip(kern)) read at offset K-1
-    Kf = jnp.fft.rfft(jnp.flip(kern, -1), n=nfft)
-    out = jnp.fft.irfft(S * Kf, n=nfft)[..., K - 1:K - 1 + one_sided]
-    return out / width
+    WL = one_sided + 1
+    W1 = _frame_windows(seg_ext, b1[..., 0].astype(jnp.int32), WL, guard=4)
+    W2 = _frame_windows(seg_ext, b2[..., 0].astype(jnp.int32), WL, guard=4)
+    low = (1 - f1) * W1[..., :one_sided] + f1 * W1[..., 1:]
+    high = (1 - f2) * W2[..., :one_sided] + f2 * W2[..., 1:]
+    return (high - low) / width

@@ -309,6 +309,9 @@ class WorldSynthesis(BaseNonFunctionalOp):
         # D-wide gathers plus a scalarized vuv gather (per-row gather
         # overhead dominates at D=K; the vuv lerp at the pulse's frame
         # coordinate equals the sample-rate upsample's value there).
+        # (A Pallas windowed-gather variant measured ~1 ms slower here:
+        # 17-sublane-row windows per slot serialize worse than the XLA
+        # row gather.)
         frame = time_index.astype(f0.dtype) / P
         f_floor = jnp.clip(jnp.floor(frame).astype(jnp.int32), max=N - 1)
         f_ceil = jnp.clip(jnp.ceil(frame).astype(jnp.int32), max=N - 1)

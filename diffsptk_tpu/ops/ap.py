@@ -445,15 +445,28 @@ class AperiodicityExtractionByD4C:
             aperiodicity0 = (ps[..., b1 - b0] / ps[..., b2 - b0])[..., None]
 
         # GetStaticCentroid()
+        from ..kernels import mxu_fft
+
         def get_centroid(bias_ratio):
             waveform = get_windowed_waveform(
                 x, f0, 4, bias_ratio, self.frame_period, self.sample_rate,
                 self.fft_length_d4c, "blackman", False, 1e-6, self.ramp)
             power = jnp.sum(jnp.square(waveform), axis=-1, keepdims=True)
             waveform = waveform / jnp.sqrt(power)
-            s1 = jnp.fft.rfft(waveform)
-            s2 = jnp.fft.rfft(waveform
-                              * jnp.cumsum(waveform != 0, axis=-1))
+            # Position ramp inside the window: the reference's
+            # cumsum(waveform != 0) counts 1-based positions over the
+            # (contiguous) window support; the dither (eps=1e-6) makes
+            # every in-window sample nonzero a.s., so the closed form
+            # from the window geometry replaces a slow minor-axis cumsum.
+            half = jnp.round(2.0 * self.sample_rate / f0)
+            bias = jnp.round(bias_ratio * self.sample_rate / f0)
+            base = (self.ramp[:self.fft_length_d4c] - bias
+                    - self.fft_length_d4c // 2)
+            mask = (-half <= base) & (base <= half)
+            pos = (base + half + 1) * mask
+            s1 = mxu_fft.rfft(waveform, self.fft_length_d4c)
+            s2 = mxu_fft.rfft(waveform * pos.astype(waveform.dtype),
+                              self.fft_length_d4c)
             return s1.real * s2.real + s1.imag * s2.imag
 
         static_centroid = get_centroid(-0.25) + get_centroid(0.25)

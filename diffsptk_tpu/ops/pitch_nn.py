@@ -174,6 +174,14 @@ def load_params(weights, init_fn, expect: dict | None = None,
     return params
 
 
+_NN_PRECISION = jax.lax.Precision.HIGH
+# The pitch CNNs pin their conv precision explicitly: bf16x3 (HIGH) is
+# the f32-accuracy class at ~40% of HIGHEST's cost, and an explicit
+# precision= wins over the library-wide full-f32 scope that
+# BaseNonFunctionalOp.__call__ installs (core.full_precision) — without
+# this the wrapped Pitch entry silently runs the convs 6-pass (3x).
+
+
 def crepe_forward(params: dict, x: jnp.ndarray, model: str = "full",
                   embed: bool = False) -> jnp.ndarray:
     """CREPE forward: (B, 1024) frames -> (B, 360) probabilities (sigmoid)
@@ -189,7 +197,8 @@ def crepe_forward(params: dict, x: jnp.ndarray, model: str = "full",
         h = jnp.pad(h, [(0, 0), (0, 0), pad])
         h = jax.lax.conv_general_dilated(
             h, jnp.asarray(w, h.dtype), window_strides=(_CREPE_STRIDES[i - 1],),
-            padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
+            padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=_NN_PRECISION)
         h = h + jnp.asarray(b, h.dtype)[None, :, None]
         h = jax.nn.relu(h)
         mean = jnp.asarray(params[f"conv{i}_BN.running_mean"], h.dtype)
@@ -212,7 +221,9 @@ def crepe_forward(params: dict, x: jnp.ndarray, model: str = "full",
         h = layer(h, i)
     # (B, C, T) -> (B, T, C) -> flatten, as in torchcrepe
     h = jnp.swapaxes(h, 1, 2).reshape(h.shape[0], cap["in_features"])
-    logits = h @ jnp.asarray(params["classifier.weight"], h.dtype).T \
+    logits = jnp.matmul(h, jnp.asarray(params["classifier.weight"],
+                                       h.dtype).T,
+                        precision=_NN_PRECISION) \
         + jnp.asarray(params["classifier.bias"], h.dtype)
     return jax.nn.sigmoid(logits)
 
@@ -437,7 +448,8 @@ def fcnf0_forward(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         b = jnp.asarray(params[f"block{i}.conv.bias"], h.dtype)
         h = jax.lax.conv_general_dilated(
             h, w, window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=_NN_PRECISION)
         h = h + b[None, :, None]
         if pool is not None:
             k, s = pool
@@ -453,7 +465,8 @@ def fcnf0_forward(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     w = jnp.asarray(params["head.weight"], h.dtype)
     logits = jax.lax.conv_general_dilated(
         h, w, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_NN_PRECISION)
     logits = logits + jnp.asarray(params["head.bias"],
                                   h.dtype)[None, :, None]
     return logits[..., 0]                                   # (B, 1440)

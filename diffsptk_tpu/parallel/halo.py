@@ -15,14 +15,19 @@ from jax import lax
 
 
 def exchange_halo(x: jnp.ndarray, left: int, right: int, axis_name: str,
-                  axis: int = -1, pad_mode: str = "constant") -> jnp.ndarray:
+                  axis: int = -1,
+                  pad_mode: str | tuple[str, str] = "constant") -> jnp.ndarray:
     """Extend the local time block with neighbor halos.
 
     x: the local shard, time on ``axis``.  ``left``/``right`` are halo
     widths in samples.  Must be called inside shard_map over ``axis_name``.
     The global-edge shards are padded with ``pad_mode`` (zeros for
-    'constant'), matching what the unsharded op would do at signal edges.
+    'constant'), matching what the unsharded op would do at signal edges;
+    a (left_mode, right_mode) pair sets the two global edges separately
+    (e.g. PQMF's zero-left / replicate-right delay padding).
     """
+    mode_l, mode_r = ((pad_mode, pad_mode) if isinstance(pad_mode, str)
+                      else pad_mode)
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     axis = axis % x.ndim
@@ -38,6 +43,7 @@ def exchange_halo(x: jnp.ndarray, left: int, right: int, axis_name: str,
         return a[tuple(ix)]
 
     def edge_fill(recv, side):
+        pad_mode = mode_l if side == "left" else mode_r
         if pad_mode == "constant":
             return jnp.zeros_like(recv)
         if pad_mode == "edge":

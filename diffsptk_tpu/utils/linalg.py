@@ -184,6 +184,9 @@ def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     batches of small systems on TPU (the mcep/mgcep Newton solves are
     ~60k systems of n~25); these forms are ~20x faster there.
     """
+    dt = jnp.result_type(A.dtype, b.dtype)
+    A = A.astype(dt)
+    b = b.astype(dt)
     n = A.shape[-1]
     batch = int(np.prod(A.shape[:-2])) if A.ndim > 2 else 1
     if (A.dtype == jnp.float32 and _SPD_UNROLL_MAX < n <= 64

@@ -20,6 +20,28 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    # Mirror of the reference's --dtype sweep
+    # (/root/reference/tests/conftest.py:21-50): "float" re-runs every
+    # check_parity-based test with float32 inputs at the reference's
+    # float tolerances (rtol 1e-4 / atol 1e-6,
+    # /root/reference/tests/utils.py:66-72) — the dtype the TPU product
+    # actually computes in.
+    parser.addoption("--dtype", default="double",
+                     choices=("double", "float"),
+                     help="parity-test input dtype")
+
+
+def pytest_configure(config):
+    from tests import utils
+    utils.set_default_dtype(config.getoption("--dtype"))
+    if config.getoption("--dtype") == "float":
+        # the torch reference builds its buffers in the default dtype
+        # (same switch the reference's own conftest performs)
+        import torch
+        torch.set_default_dtype(torch.float32)
+
+
 @pytest.fixture(scope="session")
 def data_wav():
     """The reference 16 kHz speech fixture (mono, 19200 samples)."""

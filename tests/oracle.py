@@ -18,9 +18,15 @@ import types
 import numpy as np
 import torch
 
-# Match the reference CI's `--dtype double` mode (its conftest sets the torch
-# default dtype) so oracle design constants are float64.
-torch.set_default_dtype(torch.float64)
+# Match the reference CI's dtype sweep (its conftest sets the torch
+# default dtype): float64 oracle constants under the default
+# `--dtype double`, float32 under `--dtype float`.
+try:
+    from tests.utils import DEFAULT_DTYPE as _TEST_DTYPE
+except Exception:                                    # direct script use
+    _TEST_DTYPE = "double"
+torch.set_default_dtype(
+    torch.float32 if _TEST_DTYPE == "float" else torch.float64)
 
 
 # ---------------------------------------------------------------- torchaudio

@@ -18,7 +18,7 @@ def test_pqmf_parity(n_band, order):
     y_ours = np.asarray(ours(U.to_jax(x)))
     with torch.no_grad():
         y_ref = ref(U.to_torch(x)).numpy()
-    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-6, atol=1e-8)
+    U.assert_close(y_ours, y_ref, rtol=1e-6, atol=1e-8)
 
 
 def test_pqmf_reconstruction():
@@ -34,7 +34,7 @@ def test_pqmf_reconstruction():
     sub = np.asarray(pqmf(U.to_jax(x)))
     with torch.no_grad():
         y_ref = ref(U.to_torch(sub)).numpy()
-    np.testing.assert_allclose(np.asarray(ipqmf(U.to_jax(sub))), y_ref,
+    U.assert_close(np.asarray(ipqmf(U.to_jax(sub))), y_ref,
                                rtol=1e-6, atol=1e-8)
 
 
@@ -45,7 +45,7 @@ def test_oband_parity():
     y_ours = np.asarray(ours(U.to_jax(x)))
     with torch.no_grad():
         y_ref = ref(U.to_torch(x)).numpy()
-    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-6, atol=1e-8)
+    U.assert_close(y_ours, y_ref, rtol=1e-6, atol=1e-8)
 
 
 @pytest.mark.parametrize("exact", [False, True])
@@ -56,7 +56,7 @@ def test_gammatone_parity(exact):
     y_ours = np.asarray(ours(U.to_jax(x)))
     with torch.no_grad():
         y_ref = ref(U.to_torch(x)).numpy()
-    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-6, atol=1e-8)
+    U.assert_close(y_ours, y_ref, rtol=1e-6, atol=1e-8)
 
 
 def test_gammatone_reconstruction():
@@ -69,7 +69,7 @@ def test_gammatone_reconstruction():
     ref_g = reference.GammatoneFilterBankSynthesis(16000)
     with torch.no_grad():
         y_ref = ref_g(ref_f(U.to_torch(x))).squeeze().numpy()
-    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-7)
+    U.assert_close(y, y_ref, rtol=1e-5, atol=1e-7)
 
 
 def test_chroma_parity():

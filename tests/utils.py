@@ -11,17 +11,50 @@ import numpy as np
 import torch
 
 
-def to_torch(x, dtype=torch.double):
-    return torch.as_tensor(np.asarray(x), dtype=dtype)
+#: parity-test dtype, set from the --dtype pytest option (conftest).
+#: "double" = the reference CI default; "float" re-runs the same parity
+#: checks with float32 inputs at the reference's float tolerances
+#: (rtol 1e-4 / atol 1e-6, /root/reference/tests/utils.py:66-72).
+DEFAULT_DTYPE = "double"
 
 
-def to_jax(x, dtype=jnp.float64):
+def set_default_dtype(name: str) -> None:
+    global DEFAULT_DTYPE
+    if name not in ("double", "float"):
+        raise ValueError(name)
+    DEFAULT_DTYPE = name
+
+
+def _float_mode() -> bool:
+    return DEFAULT_DTYPE == "float"
+
+
+def to_torch(x, dtype=None):
+    a = np.asarray(x)
+    if dtype is None:
+        if np.iscomplexobj(a):
+            dtype = torch.cfloat if _float_mode() else torch.cdouble
+        else:
+            dtype = torch.float if _float_mode() else torch.double
+    return torch.as_tensor(a, dtype=dtype)
+
+
+def to_jax(x, dtype=None):
     if isinstance(x, torch.Tensor):
         x = x.detach().cpu().numpy()
-    return jnp.asarray(x, dtype)
+    a = np.asarray(x)
+    if dtype is None:
+        if np.iscomplexobj(a):
+            dtype = jnp.complex64 if _float_mode() else jnp.complex128
+        else:
+            dtype = jnp.float32 if _float_mode() else jnp.float64
+    return jnp.asarray(a, dtype)
 
 
 def assert_close(actual, desired, rtol=1e-5, atol=1e-8, msg=""):
+    if _float_mode():
+        rtol = max(rtol, 1e-4)
+        atol = max(atol, 1e-6)
     actual = np.asarray(actual)
     if isinstance(desired, torch.Tensor):
         desired = desired.detach().cpu().numpy()
@@ -39,6 +72,11 @@ def check_parity(jax_fn, ref_fn, *inputs, rtol=1e-5, atol=1e-8,
     ``inputs`` are numpy arrays; ``jax_fn`` gets jnp copies, ``ref_fn`` gets
     torch.double copies.
     """
+    if _float_mode():
+        # reference float tolerances (tests/utils.py:66-72); never
+        # tighter than the caller's double-mode request
+        rtol = max(rtol, 1e-4)
+        atol = max(atol, 1e-6)
     t_in = [to_torch(x) for x in inputs]
     j_in = [to_jax(x) for x in (jax_inputs if jax_inputs is not None else inputs)]
     with torch.no_grad():

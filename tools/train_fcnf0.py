@@ -112,15 +112,29 @@ def synth_batch(rng: np.random.Generator, batch: int):
 # single host core (~70 steps/min host-bound vs TPU step time in ms).
 def synth_batch_device(key, batch: int):
     B, W, SR = batch, PENN_WINDOW_SIZE, PENN_SAMPLE_RATE
-    K = 24
-    ks = jax.random.split(key, 12)
+    K = 48
+    ks = jax.random.split(key, 16)
     t = jnp.arange(W) / SR
     k = jnp.arange(1, K + 1, dtype=jnp.float32)
 
     f0 = jnp.exp(jax.random.uniform(
         ks[0], (B,), minval=math.log(41.0), maxval=math.log(1300.0)))
     drift = jax.random.uniform(ks[1], (B,), minval=-0.02, maxval=0.02)
+    # in-frame vibrato: vocoded/natural speech sweeps f0 substantially
+    # within the 128 ms window (the eval in tests/test_pitch_speech.py
+    # imposes ~0.35-octave contours); the linear drift alone leaves the
+    # network untrained for it
+    vib_depth = jax.random.uniform(ks[12], (B, 1), minval=0.0, maxval=0.15)
+    vib_rate = jnp.exp(jax.random.uniform(
+        ks[13], (B, 1), minval=math.log(0.5), maxval=math.log(8.0)))
+    vib_phase = jax.random.uniform(ks[14], (B, 1), maxval=2 * jnp.pi)
+    tc = t[None, :] - 0.5 * W / SR
+    vib = 2.0 ** (vib_depth * jnp.sin(2 * jnp.pi * vib_rate * tc
+                                      + vib_phase)
+                  - vib_depth * jnp.sin(vib_phase - jnp.pi * vib_rate
+                                        * W / SR))
     inst_f0 = f0[:, None] * (1 + drift[:, None] * (t[None, :] * SR / W))
+    inst_f0 = inst_f0 * vib / jnp.mean(vib, axis=1, keepdims=True)
     phase = 2 * jnp.pi * jnp.cumsum(inst_f0, axis=1) / SR
 
     rolloff = k[None, :] ** -jax.random.uniform(
@@ -137,6 +151,15 @@ def synth_batch_device(key, batch: int):
         bump = gain[:, j:j + 1] * jnp.exp(
             -0.5 * ((hfreq - fc[:, j:j + 1]) / bw[:, j:j + 1]) ** 2)
         env = env * jnp.where(active, 1 + bump, 1.0)
+    # smooth cepstral spectral coloration (speech-envelope-like) on top
+    # of the rolloff+formant model
+    C = 8
+    cep = (jax.random.normal(ks[15], (B, C))
+           * (0.8 / jnp.arange(1, C + 1, dtype=jnp.float32)))
+    ang = jnp.pi * hfreq / (SR / 2)
+    env = env * jnp.exp(jnp.einsum(
+        "bc,bkc->bk", cep,
+        jnp.cos(ang[:, :, None] * jnp.arange(1, C + 1, dtype=jnp.float32))))
     env = env * (hfreq < SR / 2 - 150)
 
     phases0 = jax.random.uniform(ks[7], (B, K), maxval=2 * jnp.pi)

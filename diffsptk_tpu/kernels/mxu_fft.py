@@ -142,7 +142,7 @@ def rfft_real(c: jnp.ndarray, nfft: int) -> jnp.ndarray:
     matmul on the MXU (the mcep Newton loop needs only the real part;
     reference mcep.py:211)."""
     H = nfft // 2
-    if not use_mxu(c.dtype, nfft):
+    if not use_mxu(c.dtype, nfft, c):
         return jnp.fft.rfft(c, n=nfft).real
     C, _ = _cos_plan(nfft)
     L = c.shape[-1]
@@ -154,7 +154,7 @@ def irfft_real(d: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """First nfft/2+1 samples of irfft(d, nfft) for a REAL spectrum d
     (even sequence): one cosine matmul on the MXU."""
     H = nfft // 2
-    if not use_mxu(d.dtype, nfft):
+    if not use_mxu(d.dtype, nfft, d):
         return jnp.fft.irfft(d, n=nfft)[..., :H + 1]
     _, Ci = _cos_plan(nfft)
     return jnp.einsum("...k,kt->...t", d, Ci, precision=_PRECISION)
@@ -163,16 +163,22 @@ def irfft_real(d: jnp.ndarray, nfft: int) -> jnp.ndarray:
 def hfft_real(a: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """First nfft/2+1 samples of hfft(a) for REAL a (..., nfft/2+1):
     the even-sequence FFT is a cosine matmul, = nfft * irfft_real."""
-    if not use_mxu(a.dtype, nfft):
+    if not use_mxu(a.dtype, nfft, a):
         H = nfft // 2
         return jnp.fft.hfft(a, n=nfft)[..., :H + 1]
     return irfft_real(a, nfft) * nfft
 
 
-def use_mxu(dtype, nfft: int) -> bool:
+def use_mxu(dtype, nfft: int, arr=None) -> bool:
     if not (_MIN_N <= nfft <= _MAX_N and (nfft & (nfft - 1)) == 0):
         return False
     if dtype not in (jnp.float32, jnp.complex64):
+        return False
+    if arr is not None and not isinstance(arr, jax.core.Tracer):
+        # eager complex binops are UNIMPLEMENTED on the axon tunnel
+        # backend (each op dispatches with complex operands crossing
+        # the runtime boundary); the matmul path is for jitted graphs —
+        # eager callers keep jnp.fft
         return False
     try:
         return jax.devices()[0].platform == "tpu"
@@ -184,20 +190,20 @@ def hfft(a: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """FFT of the hermitian-symmetric signal whose half-spectrum is
     ``a`` (..., nfft/2+1) -> (..., nfft) real; equals
     irfft(conj(a)) * nfft."""
-    if use_mxu(a.dtype, nfft):
+    if use_mxu(a.dtype, nfft, a):
         return irfft_mxu(jnp.conj(a), nfft) * nfft
     return jnp.fft.hfft(a, n=nfft)
 
 
 def rfft(x: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """rfft with automatic MXU dispatch (TPU float32)."""
-    if use_mxu(x.dtype, nfft):
+    if use_mxu(x.dtype, nfft, x):
         return rfft_mxu(x, nfft)
     return jnp.fft.rfft(x, n=nfft)
 
 
 def irfft(X: jnp.ndarray, nfft: int) -> jnp.ndarray:
     """irfft with automatic MXU dispatch (TPU complex64)."""
-    if use_mxu(X.dtype, nfft):
+    if use_mxu(X.dtype, nfft, X):
         return irfft_mxu(X, nfft)
     return jnp.fft.irfft(X, n=nfft)

@@ -74,7 +74,7 @@ class RealValuedFastFourierTransform(BaseOp):
         if W is None:
             from ..kernels import mxu_fft
             n = fft_length if fft_length is not None else x.shape[-1]
-            if mxu_fft.use_mxu(x.dtype, n):
+            if mxu_fft.use_mxu(x.dtype, n, x):
                 # XLA's TPU FFT runs ~0.4 ms per batched 512..2048-pt
                 # rfft on v5e; the two-stage MXU matmul factorization is
                 # ~5x faster at HIGHEST precision.
@@ -136,7 +136,7 @@ class RealValuedInverseFastFourierTransform(BaseOp):
         if W is None:
             from ..kernels import mxu_fft
             n = 2 * (y.shape[-1] - 1)
-            if mxu_fft.use_mxu(y.dtype, n):
+            if mxu_fft.use_mxu(y.dtype, n, y):
                 x = mxu_fft.irfft_mxu(y, n)[..., :out_length]
             else:
                 x = jnp.fft.irfft(y)[..., :out_length]

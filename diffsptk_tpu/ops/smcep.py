@@ -116,24 +116,38 @@ class SecondOrderAllPassMelCepstralAnalysis(BaseOp):
             fft_length, cep_order, alpha, theta, n_iter, accuracy_factor)
         n_fft = fft_length * accuracy_factor
         H = fft_length // 2
-        freqt = get_layer(module, SecondOrderAllPassFrequencyTransform,
-                          dict(in_order=H, out_order=cep_order, alpha=alpha,
-                               theta=theta, n_fft=n_fft))
-        ifreqt = get_layer(module,
-                           SecondOrderAllPassInverseFrequencyTransform,
-                           dict(in_order=cep_order, out_order=H, alpha=alpha,
-                                theta=theta, n_fft=n_fft))
-        rfreqt = get_layer(module, CoefficientsFrequencyTransform2,
-                           dict(in_order=H, out_order=2 * cep_order,
-                                alpha=alpha, theta=theta, n_fft=n_fft))
+        M = cep_order
+        # The (alpha, theta)-warped transforms are all matmuls, so the
+        # same composed plans as MelCepstralAnalysis._design apply with
+        # the second-order all-pass matrices in place of the freqt ones.
+        A_fw = SecondOrderAllPassFrequencyTransform._design(
+            in_order=H, out_order=M, alpha=alpha, theta=theta,
+            n_fft=n_fft).arrays["A"]                        # (H+1, M+1)
+        A_if = SecondOrderAllPassInverseFrequencyTransform._design(
+            in_order=M, out_order=H, alpha=alpha, theta=theta,
+            n_fft=n_fft).arrays["A"]                        # (M+1, H+1)
+        A_rt = CoefficientsFrequencyTransform2._design(
+            in_order=H, out_order=2 * M, alpha=alpha, theta=theta,
+            n_fft=n_fft).arrays["A"]                        # (H+1, 2M+1)
+        t = np.arange(H + 1)
+        ang = 2.0 * np.pi * np.outer(t, t) / fft_length
+        C1 = np.cos(ang)
+        w = np.full(H + 1, 2.0)
+        w[0] = w[H] = 1.0
+        Ci = (w[:, None] * np.cos(ang)) / fft_length
+        scale = np.ones(H + 1)
+        scale[0] = scale[H] = 0.5
+        P0 = (Ci * scale[None, :]) @ A_fw
+        P1 = A_if @ C1
+        P2 = Ci @ A_rt
         # alpha_vector = warp of the unit seed (smcep.py:209-216)
         seed = np.ones(1)
         A = design_smcep_cfreqt(0, cep_order, alpha, theta, n_fft)
         alpha_vector = seed @ A
         return Design(
             values={"fft_length": fft_length, "n_iter": n_iter},
-            layers={"freqt": freqt, "ifreqt": ifreqt, "rfreqt": rfreqt},
-            arrays={"alpha_vector": alpha_vector})
+            arrays={"alpha_vector": alpha_vector, "P0": P0, "P1": P1,
+                    "P2": P2})
 
     @staticmethod
     def _forward(*args, **kwargs) -> jnp.ndarray:

@@ -32,6 +32,18 @@ TAU = 2 * np.pi
 
 
 @functools.lru_cache(maxsize=None)
+def optimum_smoothing_system(eta: float = 1.0, pc: float = 0.6):
+    """The (A, b) least-squares system behind ``optimum_smoothing``.
+
+    Exposed so tests can verify first-order optimality of the solved
+    coefficients and the quality of the envelope reconstruction
+    (tests/test_straight_ovc.py) — the re-derivation replaces
+    pylstraight.core.sp.optimumsmoothing (reference pitch_spec.py:413),
+    which is not importable in this image."""
+    return _ovc_system(eta, pc)
+
+
+@functools.lru_cache(maxsize=None)
 def optimum_smoothing(eta: float = 1.0, pc: float = 0.6) -> tuple:
     """Optimum smoothing-compensation coefficients (length 4).
 
@@ -52,6 +64,13 @@ def optimum_smoothing(eta: float = 1.0, pc: float = 0.6) -> tuple:
     flat envelope the displaced triangles partition unity and the problem
     is degenerate in everything but the coefficient sum.
     """
+    A, b = _ovc_system(eta, pc)
+    ovc, *_ = np.linalg.lstsq(A, b, rcond=None)
+    return tuple(float(v) for v in ovc)
+
+
+@functools.lru_cache(maxsize=None)
+def _ovc_system(eta: float, pc: float):
     rng = np.random.RandomState(0)
     df = 1.0 / 32.0                 # frequency resolution (f0 units)
     F = 16.0                        # frequency extent
@@ -140,10 +159,7 @@ def optimum_smoothing(eta: float = 1.0, pc: float = 0.6) -> tuple:
                   / np.maximum(spw2[:, lo:hi], 1e-30))
         tgts.append(target.ravel())
 
-    A = np.concatenate(rows, axis=0)
-    b = np.concatenate(tgts, axis=0)
-    ovc, *_ = np.linalg.lstsq(A, b, rcond=None)
-    return tuple(float(v) for v in ovc)
+    return np.concatenate(rows, axis=0), np.concatenate(tgts, axis=0)
 
 
 def _butter_highpass_sos(order: int, fc: float, sample_rate: float):

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import BaseOp, Design, check_size, filter_values, get_layer
+from ..core import BaseOp, Design, check_size, filter_values
 from ..utils.linalg import hankel, spd_solve, symmetric_toeplitz
 from .freqt import FrequencyTransform, design_freqt
 

@@ -174,12 +174,16 @@ def load_params(weights, init_fn, expect: dict | None = None,
     return params
 
 
-_NN_PRECISION = jax.lax.Precision.HIGH
-# The pitch CNNs pin their conv precision explicitly: bf16x3 (HIGH) is
-# the f32-accuracy class at ~40% of HIGHEST's cost, and an explicit
+_NN_PRECISION = jax.lax.Precision.DEFAULT
+# The pitch CNNs pin their conv precision explicitly: an explicit
 # precision= wins over the library-wide full-f32 scope that
 # BaseNonFunctionalOp.__call__ installs (core.full_precision) — without
 # this the wrapped Pitch entry silently runs the convs 6-pass (3x).
+# DEFAULT (single-pass bf16) is validated against bf16x3 on the
+# vocoded-speech ground-truth eval (tests/test_pitch_speech.py):
+# identical voiced recall, median and p90 cents on TPU — the softmax
+# classifier is insensitive to conv rounding — at half the MXU cost
+# (FCNF0 inference 31 -> 17 ms at the WORLD bench geometry).
 
 
 def crepe_forward(params: dict, x: jnp.ndarray, model: str = "full",

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import BaseOp, Design, check_size, filter_values, get_layer
+from ..core import BaseOp, Design, check_size, filter_values
 from .freqt2 import (
     SecondOrderAllPassFrequencyTransform,
     SecondOrderAllPassInverseFrequencyTransform,

@@ -11,7 +11,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .frame import Frame
 
 TAU = 2 * np.pi
 

@@ -9,7 +9,6 @@ Boundary shards are padded according to the op's padding mode.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -263,10 +263,19 @@ def _chunked_kernel_b3(wa_ref, x_ref, cre_ref, cim_ref, f_ref, g_ref,
     """bf16x3 tap-chunked cascade over a group of gap-separated batch
     segments: frames at scratch rows off..off+ng, chunk j's spectrum =
     row-shift j of the shared forward transform, mask keeps gap rows
-    zero every stage."""
+    zero every stage.
+
+    The three bf16x3 products ride SEPARATE single-pass dots against
+    the hi/lo plan halves instead of the (operand-concat x 3-deep plan)
+    form: same FLOPs, but no (NE, 384) VMEM concat copies per window —
+    at 20 stages the copies were ~10% of the kernel."""
     f32, bf16 = jnp.float32, jnp.bfloat16
     off = Q - 1 + r0
     NE = ng + Q - 1
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32,
+                       precision=jax.lax.Precision.DEFAULT)
 
     xq_ref[:] = jnp.zeros_like(xq_ref)
     xq_ref[off:off + ng, :P] = x_ref[0]
@@ -281,12 +290,12 @@ def _chunked_kernel_b3(wa_ref, x_ref, cre_ref, cim_ref, f_ref, g_ref,
         xl = (xq - xh.astype(f32)).astype(bf16)
         X = jnp.zeros((NE, 2 * Kp), f32)
         for r in range(n_blk):
-            cat = jnp.concatenate(
-                [xh[r:r + NE, :], xh[r:r + NE, :], xl[r:r + NE, :]],
-                axis=1)
-            X = X + jnp.dot(cat, f_ref[r * 3 * LANE:(r + 1) * 3 * LANE, :],
-                            preferred_element_type=f32,
-                            precision=jax.lax.Precision.DEFAULT)
+            base = r * 3 * LANE
+            fh = f_ref[base:base + LANE, :]
+            fl = f_ref[base + LANE:base + 2 * LANE, :]
+            w_h = xh[r:r + NE, :]
+            X = X + dot(w_h, fh) + dot(w_h, fl) \
+                + dot(xl[r:r + NE, :], fh)
         Yre = jnp.zeros((ng, Kp), f32)
         Yim = jnp.zeros((ng, Kp), f32)
         for j in range(Q):
@@ -301,14 +310,13 @@ def _chunked_kernel_b3(wa_ref, x_ref, cre_ref, cim_ref, f_ref, g_ref,
         yre_l = (Yre - yre_h.astype(f32)).astype(bf16)
         yim_h = Yim.astype(bf16)
         yim_l = (Yim - yim_h.astype(f32)).astype(bf16)
-        ycat_re = jnp.concatenate([yre_h, yre_h, yre_l], axis=1)
-        ycat_im = jnp.concatenate([yim_h, yim_h, yim_l], axis=1)
-        V = (jnp.dot(ycat_re, g_ref[:3 * Kp, :],
-                     preferred_element_type=f32,
-                     precision=jax.lax.Precision.DEFAULT)
-             + jnp.dot(ycat_im, g_ref[3 * Kp:, :],
-                       preferred_element_type=f32,
-                       precision=jax.lax.Precision.DEFAULT))  # (ng, 256)
+        gre_h = g_ref[:Kp, :]
+        gre_l = g_ref[Kp:2 * Kp, :]
+        gim_h = g_ref[3 * Kp:4 * Kp, :]
+        gim_l = g_ref[4 * Kp:5 * Kp, :]
+        V = (dot(yre_h, gre_h) + dot(yre_h, gre_l) + dot(yre_l, gre_h)
+             + dot(yim_h, gim_h) + dot(yim_h, gim_l)
+             + dot(yim_l, gim_h))                             # (ng, 256)
         hi = jnp.concatenate(
             [V[1:, LANE:2 * LANE], jnp.zeros((1, LANE), f32)], axis=0)
         new = (V[:, :LANE] + hi) * (wa_ref[0, s] * mask)

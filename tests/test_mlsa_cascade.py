@@ -93,6 +93,38 @@ def test_folded_float64_exact():
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
+def test_folded_chunked_grad():
+    """Gradients flow through the tap-chunked path (M+1 > P engages it
+    on the lane-aligned transform) and match the stage-by-stage
+    reference's gradients."""
+    B, N, P, M, S, advance = 2, 6, 16, 39, 3, 0
+    from diffsptk_tpu.kernels.mlsa_cascade import lane_aligned_nfft
+    nfft = 512    # > lane_aligned_nfft(3P) = 254, so chunking engages
+    assert lane_aligned_nfft(3 * P) < nfft
+    T = N * P
+    x = jnp.asarray(RNG.standard_normal((B, T)).astype(np.float32))
+    c = jnp.asarray(
+        (RNG.standard_normal((B, N, M + 1))
+         * (0.8 ** np.arange(M + 1)) * 0.3).astype(np.float32))
+    weights = jnp.asarray(
+        (1.0 / np.cumprod([1.0] + list(range(1, S + 1)))).astype(np.float32))
+    a = jnp.asarray(np.ones(S + 1, np.float32))
+
+    def loss(fn):
+        return lambda xx, cc: jnp.sum(fn(xx, cc) ** 2)
+
+    gx, gc = jax.grad(loss(lambda xx, cc: taylor_cascade_folded(
+        xx, cc, weights, a, P, advance, nfft)), argnums=(0, 1))(x, c)
+    gx_ref, gc_ref = jax.grad(loss(lambda xx, cc: _stages_reference(
+        xx, cc, weights, a, P, advance, nfft)), argnums=(0, 1))(x, c)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4,
+                               atol=1e-4 * float(jnp.max(jnp.abs(gx_ref))))
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref),
+                               rtol=1e-4,
+                               atol=1e-4 * float(jnp.max(jnp.abs(gc_ref))))
+
+
 def test_mlsa_folded_default_and_grad():
     """MLSA defaults to the folded cascade on the long-filter path and
     carries gradients through it."""

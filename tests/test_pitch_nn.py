@@ -286,7 +286,9 @@ def test_crepe_tiny_accuracy_on_tones():
                     reason="bundled crepe-tiny checkpoint not built")
 def test_crepe_tiny_agrees_with_yin_on_speech(data_wav):
     """On real speech, frames both trackers call voiced must agree in
-    pitch (median < 60 cents) — YIN is the in-image oracle."""
+    pitch — YIN is the in-image oracle.  The round-5 vibrato/cepstral
+    fine-tune brought the measured median to 14.6 cents (p90 28);
+    ground-truth speech accuracy lives in tests/test_pitch_speech.py."""
     x = np.asarray(data_wav)
     yin = np.asarray(diffsptk_tpu.Pitch(80, SR, algorithm="yin",
                                         out_format="f0",
@@ -299,7 +301,7 @@ def test_crepe_tiny_agrees_with_yin_on_speech(data_wav):
     both = (yin[:n] > 0) & (crepe[:n] > 0)
     assert both.sum() > 20
     cents = 1200 * np.abs(np.log2(crepe[:n][both] / yin[:n][both]))
-    assert np.median(cents) < 60, np.median(cents)
+    assert np.median(cents) < 30, np.median(cents)
 
 
 @pytest.mark.skipif(_bundled("crepe_tiny_synth.npz") is None,
@@ -368,4 +370,5 @@ def test_fcnf0_agrees_with_yin_on_speech(data_wav):
     both = (yin[:n] > 0) & (fc[:n] > 0)
     assert both.sum() > 20
     cents = 1200 * np.abs(np.log2(fc[:n][both] / yin[:n][both]))
-    assert np.median(cents) < 60, np.median(cents)
+    # measured 31.2 cents median vs YIN (p90 69)
+    assert np.median(cents) < 45, np.median(cents)

@@ -69,12 +69,13 @@ def test_fcnf0_speech_accuracy(vocoded_speech):
 
 
 def test_crepe_tiny_speech_accuracy(vocoded_speech):
-    """The bundled CREPE-tiny (tone-trained) is looser on speech:
-    measured median ~63 cents; this documents the bound rather than
-    aspiring past the training distribution."""
+    """The bundled CREPE-tiny (fine-tuned on the vibrato/cepstral
+    corpus, tools/train_crepe_tiny.py): measured median 17.4 cents,
+    p90 67 on the vocoded-speech ground truth."""
     y, f0_true = vocoded_speech
     p = diffsptk_tpu.Pitch(P, SR, algorithm="crepe", model="tiny",
                            out_format="f0")
     err, recall = _cents(p, y, f0_true)
     assert recall > 0.6, recall
-    assert np.median(err) < 90, np.median(err)
+    assert np.median(err) < 40, np.median(err)
+    assert np.percentile(err, 90) < 110, np.percentile(err, 90)

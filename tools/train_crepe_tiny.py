@@ -61,7 +61,16 @@ def synth_batch(rng: np.random.Generator, batch: int):
 
     f0 = np.exp(rng.uniform(np.log(50.0), np.log(1500.0), B))
     drift = rng.uniform(-0.02, 0.02, B)
+    # in-frame vibrato (natural/vocoded speech sweeps f0 within the
+    # 64 ms window; see tools/train_fcnf0.py and
+    # tests/test_pitch_speech.py)
+    vib_depth = rng.uniform(0.0, 0.15, (B, 1))
+    vib_rate = np.exp(rng.uniform(np.log(0.5), np.log(8.0), (B, 1)))
+    vib_phase = rng.uniform(0, 2 * np.pi, (B, 1))
+    tc = t[None, :] - 0.5 * W / SR
+    vib = 2.0 ** (vib_depth * np.sin(2 * np.pi * vib_rate * tc + vib_phase))
     inst_f0 = f0[:, None] * (1 + drift[:, None] * (t[None, :] * SR / W))
+    inst_f0 = inst_f0 * vib / vib.mean(axis=1, keepdims=True)
     phase = 2 * np.pi * np.cumsum(inst_f0, axis=1) / SR
 
     K = 30
@@ -78,6 +87,12 @@ def synth_batch(rng: np.random.Generator, batch: int):
         bump = gain[:, j:j + 1] * np.exp(
             -0.5 * ((hfreq - fc[:, j:j + 1]) / bw[:, j:j + 1]) ** 2)
         env = env * np.where(active, 1 + bump, 1.0)
+    # smooth cepstral spectral coloration (speech-envelope-like)
+    C = 8
+    cep = rng.standard_normal((B, C)) * (0.8 / np.arange(1, C + 1))
+    ang = np.pi * hfreq / (SR / 2)
+    env = env * np.exp(np.einsum(
+        "bc,bkc->bk", cep, np.cos(ang[:, :, None] * np.arange(1, C + 1))))
     env = env * (hfreq < SR / 2 - 200)         # anti-alias
 
     phases0 = rng.uniform(0, 2 * np.pi, (B, K))
